@@ -1,0 +1,97 @@
+"""Positive-definite linear algebra with jitter-escalation, kept on-device.
+
+TPU-native counterpart of the reference's CMatrix LAPACK layer (CMatrix.cpp:371-503,
+767-889).  Differences by design:
+
+* the reference computes explicit inverses via dpotri (`pdinv`, CMatrix.cpp:421-442)
+  and caches `invK`; here every invK use is replaced by triangular solves against the
+  Cholesky factor (cho_solve), which is both faster and numerically tighter;
+* `jitChol`'s retry loop (CMatrix.cpp:767-804: jitter = 1e-6·mean(diag), ×10 per
+  failure, up to maxTries) becomes a `lax.while_loop` — a Cholesky failure on TPU
+  shows up as NaNs in the factor rather than a LAPACK `info` code, so the loop
+  condition checks finiteness;
+* everything is differentiable and jit-compatible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+
+def jitchol(A, max_tries: int = 10):
+    """Lower-Cholesky factor of A, escalating diagonal jitter on failure.
+
+    Returns (L, jitter_used).  Mirrors CMatrix::jitChol (CMatrix.cpp:853-889):
+    first attempt with no jitter; on failure add 1e-6·mean(|diag|), then ×10 per
+    retry.  After max_tries the (NaN) factor is returned — callers surface NaN in
+    the objective, which the SCG/CG optimizers treat as a failed step, mirroring
+    the reference's exception-driven pull-back (COptimisable.cpp:481-523).
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    jitter0 = 1e-6 * jnp.abs(jnp.trace(A)) / n
+
+    def factor(jit_amount):
+        L = jnp.linalg.cholesky(A + jit_amount * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    L0, ok0 = factor(jnp.zeros((), A.dtype))
+
+    def cond(state):
+        tries, _jit, _L, ok = state
+        return jnp.logical_and(~ok, tries < max_tries)
+
+    def body(state):
+        tries, jit_amount, _L, _ok = state
+        L, ok = factor(jit_amount)
+        return tries + 1, jit_amount * 10.0, L, ok
+
+    tries, jit_amount, L, ok = lax.while_loop(cond, body, (jnp.array(0), jitter0, L0, ok0))
+    # jitter actually applied is jit_amount/10 after ≥1 retry, 0 if first try worked.
+    used = jnp.where(tries == 0, jnp.zeros((), A.dtype), jit_amount / 10.0)
+    return L, used
+
+
+def chol_logdet(L):
+    """log|A| from its Cholesky factor (CMatrix::logDet, CMatrix.cpp:404-412)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+
+def chol_solve(L, B):
+    """Solve A x = B given lower Cholesky L of A."""
+    y = solve_triangular(L, B, lower=True)
+    return solve_triangular(L.T, y, lower=False)
+
+
+def tri_solve(L, B, lower: bool = True, trans: bool = False):
+    return solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
+
+
+def pdinv(A):
+    """Explicit PD inverse (parity helper; prefer chol_solve in model code)."""
+    L, _ = jitchol(A)
+    inv = chol_solve(L, jnp.eye(A.shape[-1], dtype=A.dtype))
+    return 0.5 * (inv + inv.T)
+
+
+def quad_form(L, m):
+    """mᵀ A⁻¹ m summed over columns of m, given lower Cholesky L of A."""
+    v = solve_triangular(L, m, lower=True)
+    return jnp.sum(v * v)
+
+
+def dist2(X1, X2):
+    """Pairwise squared Euclidean distances, MXU-friendly.
+
+    Counterpart of CMatrix::dist2Row inner loops (CMatrix.h:553-638): computed as
+    ‖x‖² + ‖x'‖² − 2·X1X2ᵀ so the O(N²D) work is one matmul, clamped at 0.
+    """
+    n1 = jnp.sum(X1 * X1, axis=-1, keepdims=True)
+    n2 = jnp.sum(X2 * X2, axis=-1, keepdims=True)
+    cross = X1 @ X2.T
+    return jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)

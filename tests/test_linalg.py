@@ -1,0 +1,68 @@
+"""Linear-algebra tests (reference CMatrix.cpp chol/jitChol/pdinv/logDet, testMatrix.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpc_tpu import linalg
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_jitchol_pd_no_jitter():
+    A = _spd(16)
+    L, jit = linalg.jitchol(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(L @ L.T), A, rtol=1e-10, atol=1e-10)
+    assert float(jit) == 0.0
+
+
+def test_jitchol_escalates_on_nonpd():
+    # rank-deficient matrix: needs jitter
+    v = np.ones((8, 1))
+    A = v @ v.T  # PSD rank-1
+    L, jit = linalg.jitchol(jnp.asarray(A))
+    assert np.all(np.isfinite(np.asarray(L)))
+    assert float(jit) > 0.0
+    # factor reproduces A + jitter·I
+    np.testing.assert_allclose(np.asarray(L @ L.T), A + float(jit) * np.eye(8), rtol=1e-8, atol=1e-8)
+
+
+def test_jitchol_inside_jit():
+    A = jnp.asarray(_spd(12, 1))
+    L, _ = jax.jit(linalg.jitchol)(A)
+    np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(np.asarray(A)), rtol=1e-10, atol=1e-10)
+
+
+def test_logdet_and_solve():
+    A = _spd(20, 2)
+    L, _ = linalg.jitchol(jnp.asarray(A))
+    np.testing.assert_allclose(float(linalg.chol_logdet(L)), np.linalg.slogdet(A)[1], rtol=1e-10)
+    b = np.random.default_rng(3).standard_normal((20, 4))
+    x = np.asarray(linalg.chol_solve(L, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-8, atol=1e-10)
+
+
+def test_pdinv():
+    A = _spd(10, 4)
+    np.testing.assert_allclose(np.asarray(linalg.pdinv(jnp.asarray(A))), np.linalg.inv(A), rtol=1e-8, atol=1e-10)
+
+
+def test_quad_form():
+    A = _spd(15, 5)
+    m = np.random.default_rng(6).standard_normal((15, 3))
+    L, _ = linalg.jitchol(jnp.asarray(A))
+    want = np.trace(m.T @ np.linalg.solve(A, m))
+    np.testing.assert_allclose(float(linalg.quad_form(L, jnp.asarray(m))), want, rtol=1e-9)
+
+
+def test_dist2():
+    rng = np.random.default_rng(7)
+    X1 = rng.standard_normal((9, 4))
+    X2 = rng.standard_normal((7, 4))
+    D = np.asarray(linalg.dist2(jnp.asarray(X1), jnp.asarray(X2)))
+    want = ((X1[:, None, :] - X2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(D, want, rtol=1e-9, atol=1e-9)
