@@ -97,6 +97,11 @@ class Kern:
     def with_priors(self, priors):
         return dataclasses.replace(self, priors=tuple(priors))
 
+    @property
+    def priors_global(self):
+        """Priors with indices into this kernel's own parameter vector."""
+        return self.priors
+
 
 def _set_diag(K, d):
     n = K.shape[0]

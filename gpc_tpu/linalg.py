@@ -33,27 +33,32 @@ def jitchol(A, max_tries: int = 10):
     A = jnp.asarray(A)
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
-    jitter0 = 1e-6 * jnp.abs(jnp.trace(A)) / n
 
-    def factor(jit_amount):
-        L = jnp.linalg.cholesky(A + jit_amount * eye)
-        ok = jnp.all(jnp.isfinite(L))
-        return L, ok
+    # Jitter discovery runs on a stop-gradient copy inside a while_loop (which is
+    # not reverse-mode differentiable); the returned factor is then recomputed
+    # once differentiably at the discovered jitter, so jax.grad flows through the
+    # Cholesky but not through the discrete retry count.
+    Asg = lax.stop_gradient(A)
+    jitter0 = 1e-6 * jnp.abs(jnp.trace(Asg)) / n
 
-    L0, ok0 = factor(jnp.zeros((), A.dtype))
+    def ok_at(jit_amount):
+        L = jnp.linalg.cholesky(Asg + jit_amount * eye)
+        return jnp.all(jnp.isfinite(L))
 
     def cond(state):
-        tries, _jit, _L, ok = state
+        tries, _jit, ok = state
         return jnp.logical_and(~ok, tries < max_tries)
 
     def body(state):
-        tries, jit_amount, _L, _ok = state
-        L, ok = factor(jit_amount)
-        return tries + 1, jit_amount * 10.0, L, ok
+        tries, jit_amount, _ok = state
+        return tries + 1, jit_amount * 10.0, ok_at(jit_amount)
 
-    tries, jit_amount, L, ok = lax.while_loop(cond, body, (jnp.array(0), jitter0, L0, ok0))
-    # jitter actually applied is jit_amount/10 after ≥1 retry, 0 if first try worked.
-    used = jnp.where(tries == 0, jnp.zeros((), A.dtype), jit_amount / 10.0)
+    zero = jnp.zeros((), A.dtype)
+    tries, jit_amount, ok = lax.while_loop(cond, body, (jnp.array(0), jitter0, ok_at(zero)))
+    # jitter actually applied: 0 if the first try worked, else jit_amount/10
+    # (the loop pre-multiplies for the next attempt).
+    used = jnp.where(tries == 0, zero, jit_amount / 10.0)
+    L = jnp.linalg.cholesky(A + used * eye)
     return L, used
 
 
