@@ -1,0 +1,251 @@
+"""Shared CLI machinery (counterpart of CClctrl.{h,cpp}).
+
+Arg-cursor helpers, `-v` verbosity / `-s` seed handling (seed defaults to time,
+CClctrl.cpp:3-12), SVM-light data loading, and the kernel-spec accumulation
+grammar shared by the gp/gplvm/ivm tools (gp.cpp:150-250): repeatable `-k TYPE`
+followed by per-kernel parameter flags (`-g` gamma stores 2γ as the inverse
+width, gp.cpp:162-169; `-v/-w/-b/-d/-i`).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from gpc_tpu import kernels as KM
+from gpc_tpu.io.svml import read_svml
+
+
+class ExitError(SystemExit):
+    def __init__(self, msg):
+        super().__init__(f"Error: {msg}")
+
+
+def setup_jax():
+    """Select backend for CLI runs.
+
+    GPC_TPU_PLATFORM=cpu|tpu|axon overrides; on CPU, float64 is enabled to match
+    the double-precision reference.  (The axon sitecustomize pins
+    jax_platforms at interpreter start, so the env var must be applied via
+    jax.config after import.)
+    """
+    import jax
+
+    plat = os.environ.get("GPC_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if plat == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+
+class CommandLine:
+    def __init__(self, argv):
+        self.argv = list(argv)
+        self.pos = 0
+        self.verbosity = 2
+        self.seed = int(time.time())
+        self.file_format = 0
+        self.mode = ""
+
+    # --- cursor helpers (CClctrl.h:74-120) ---------------------------------
+    def current(self):
+        if self.pos >= len(self.argv):
+            raise ExitError("There are not enough input parameters.")
+        return self.argv[self.pos]
+
+    def advance(self):
+        self.pos += 1
+
+    def next_value(self):
+        self.advance()
+        return self.current()
+
+    def has_more(self):
+        return self.pos < len(self.argv)
+
+    def is_flag(self):
+        return self.has_more() and self.current().startswith("-")
+
+    def get_bool(self):
+        v = self.next_value()
+        if v in ("1", "true", "True"):
+            return True
+        if v in ("0", "false", "False"):
+            return False
+        raise ExitError(f"Current argument {v} is not boolean.")
+
+    def get_int(self):
+        return int(self.next_value())
+
+    def get_double(self):
+        return float(self.next_value())
+
+    def get_string(self):
+        return self.next_value()
+
+    # --- global flags (-v, -s) --------------------------------------------
+    def eat_global_flags(self):
+        """Consume leading -v/-s flags before the command word (CClctrl)."""
+        while self.is_flag():
+            if self.current() in ("-v", "--verbosity"):
+                self.verbosity = self.get_int()
+                self.advance()
+            elif self.current() in ("-s", "--seed"):
+                self.seed = self.get_int()
+                self.advance()
+            else:
+                break
+
+
+class KernelSpecParser:
+    """Accumulates -k/-g/-d/-w/-b/-v/-i kernel specs (gp.cpp:150-250)."""
+
+    def __init__(self):
+        self.types = []
+        self.usage = []            # 'fwd' | 'back' | 'dyn'
+        self.ratquad_alphas = []
+        self.inv_widths = []
+        self.weight_vars = []
+        self.bias_vars = []
+        self.variances = []
+        self.degrees = []
+        self.select_inputs = []
+
+    def _check_last(self, what, allowed):
+        if not self.types:
+            raise ExitError(f"{what} specification must come after covariance function type is specified.")
+        if allowed is not None and self.types[-1] not in allowed:
+            raise ExitError(f"{what} parameter not valid for {self.types[-1]} covariance function.")
+
+    def handle(self, cl: CommandLine, usage="fwd") -> bool:
+        """Try to consume the current flag; returns True if consumed."""
+        arg = cl.current()
+        if arg in ("-k", "--kernel"):
+            self.types.append(cl.get_string())
+            self.usage.append(usage)
+            for lst in (self.ratquad_alphas, self.inv_widths, self.weight_vars,
+                        self.bias_vars, self.variances, self.degrees):
+                lst.append(-1.0)
+            self.select_inputs.append(False)
+        elif arg in ("-g", "--gamma"):
+            self._check_last("Inverse width", ("rbf", "exp", "ratquad"))
+            self.inv_widths[-1] = 2 * cl.get_double()  # stores 2γ (gp.cpp:168)
+        elif arg in ("-d", "--degree"):
+            self._check_last("Polynomial degree", ("poly",))
+            self.degrees[-1] = cl.get_double()
+        elif arg in ("-w", "--weight"):
+            self._check_last("`Weight variance'", ("poly", "mlp"))
+            self.weight_vars[-1] = cl.get_double()
+        elif arg in ("-b", "--bias"):
+            self._check_last("`Bias variance'", ("poly", "mlp"))
+            self.bias_vars[-1] = cl.get_double()
+        elif arg in ("-v", "--variance"):
+            self._check_last("Variance", None)
+            self.variances[-1] = cl.get_double()
+        elif arg in ("-i", "--input-select"):
+            self._check_last("Input selection flag", None)
+            self.select_inputs[-1] = cl.get_bool()
+        else:
+            return False
+        cl.advance()
+        return True
+
+    def build(self, input_dim: int, usage="fwd", default_type=None,
+              add_bias_white=True):
+        """Assemble the compound kernel + params (gp.cpp:240-349)."""
+        comps = []
+        params = []
+        for i, t in enumerate(self.types):
+            if self.usage[i] != usage:
+                continue
+            sel = self.select_inputs[i]
+            if t == "lin":
+                k = KM.Linard(input_dim=input_dim) if sel else KM.Lin(input_dim=input_dim)
+                p = k.default_params()
+                if self.variances[i] != -1.0:
+                    p[0] = self.variances[i]
+            elif t == "poly":
+                deg = self.degrees[i] if self.degrees[i] != -1.0 else 2.0
+                k = (KM.Polyard(input_dim=input_dim, degree=deg) if sel
+                     else KM.Poly(input_dim=input_dim, degree=deg))
+                p = k.default_params()
+                for j, v in enumerate((self.weight_vars[i], self.bias_vars[i], self.variances[i])):
+                    if v != -1.0:
+                        p[j] = v
+            elif t == "rbf":
+                k = KM.Rbfard(input_dim=input_dim) if sel else KM.Rbf(input_dim=input_dim)
+                p = k.default_params()
+                if self.inv_widths[i] != -1.0:
+                    p[0] = self.inv_widths[i]
+                if self.variances[i] != -1.0:
+                    p[1] = self.variances[i]
+            elif t == "exp":
+                if sel:
+                    raise ExitError("Exponential covariance function not available with input selection yet.")
+                k = KM.Exp(input_dim=input_dim)
+                p = k.default_params()
+                if self.inv_widths[i] != -1.0:
+                    p[0] = self.inv_widths[i]
+                if self.variances[i] != -1.0:
+                    p[1] = self.variances[i]
+            elif t == "ratquad":
+                if sel:
+                    raise ExitError("Rational quadratic covariance function not available with input selection yet.")
+                k = KM.RatQuad(input_dim=input_dim)
+                p = k.default_params()
+                if self.ratquad_alphas[i] != -1.0:
+                    p[0] = self.ratquad_alphas[i]
+                if self.inv_widths[i] != -1.0:
+                    p[1] = 1.0 / np.sqrt(self.inv_widths[i])  # gp.cpp:296
+                if self.variances[i] != -1.0:
+                    p[2] = self.variances[i]
+            elif t == "mlp":
+                k = KM.Mlpard(input_dim=input_dim) if sel else KM.Mlp(input_dim=input_dim)
+                p = k.default_params()
+                for j, v in enumerate((self.weight_vars[i], self.bias_vars[i], self.variances[i])):
+                    if v != -1.0:
+                        p[j] = v
+            elif t == "bias" and usage != "fwd":
+                k = KM.Bias(input_dim=input_dim)
+                p = k.default_params()
+                if self.variances[i] != -1.0:
+                    p[0] = self.variances[i]
+            elif t == "white" and usage != "fwd":
+                k = KM.White(input_dim=input_dim)
+                p = k.default_params()
+                if self.variances[i] != -1.0:
+                    p[0] = self.variances[i]
+            else:
+                raise ExitError(f"Unknown covariance function type: {t}")
+            comps.append(k)
+            params.append(p)
+
+        if not comps and default_type is not None:
+            k = KM.make_kern(default_type, input_dim)
+            comps.append(k)
+            params.append(k.default_params())
+        if add_bias_white:
+            # fwd kernels always get bias + white appended (gp.cpp:346-349)
+            for k in (KM.Bias(input_dim=input_dim), KM.White(input_dim=input_dim)):
+                comps.append(k)
+                params.append(k.default_params())
+        kern = KM.Cmpnd(input_dim=input_dim, components=tuple(comps))
+        return kern, np.concatenate(params) if params else np.zeros(0)
+
+
+def load_data(path):
+    X, y = read_svml(path)
+    return X, y
+
+
+def write_unheaded(path, M, comment=None):
+    """CMatrix::toUnheadedFile equivalent: rows of 17-digit scientific values."""
+    M = np.atleast_2d(np.asarray(M))
+    with open(path, "w") as f:
+        if comment:
+            f.write(f"# {comment}\n")
+        for row in M:
+            f.write(" ".join(f"{v:.17e}" for v in row) + "\n")

@@ -1,0 +1,240 @@
+"""`gp` command-line tool: GP regression (counterpart of gp.cpp).
+
+Commands: learn / relearn / display / gnuplot (gp.cpp:42-47; test/predict/
+log-likelihood are commented out in the reference).  Usage:
+
+    python -m gpc_tpu.cli.gp [-v verbosity] [-s seed] learn [options] data.svml [model]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gpc_tpu.cli.common import CommandLine, ExitError, KernelSpecParser, load_data, write_unheaded
+from gpc_tpu.io import model_io
+from gpc_tpu.models.gp import GP
+
+
+def _help():
+    print("GP regression tool (gpc_tpu).\n"
+          "Commands:\n"
+          "  gp learn [options] data.svml [model]    train a GP\n"
+          "  gp relearn [options] data.svml model    continue training\n"
+          "  gp display [model]                      show a stored model\n"
+          "  gp gnuplot [options] data.svml [model] [name]  plot artifacts\n"
+          "Learn options: -C centre (1) -S scale (0) -L learn-scales (0)\n"
+          "  -A ftc|dtc|dtcvar|fitc  -a active-set-size  -k kernel (rbf|lin|mlp|poly|exp|ratquad)\n"
+          "  -g gamma -v variance -w weight-var -b bias-var -d degree -i input-select\n"
+          "  -O scg|conjgrad|graddesc  -# iters  -f format")
+
+
+def learn(cl: CommandLine):
+    cl.advance()
+    cl.mode = "learn"
+    ks = KernelSpecParser()
+    centre, scale_data, learn_scales = True, False, False
+    approx, active = "ftc", -1
+    iters = 1000
+    optimiser = "scg"
+    model_file = "gp_model"
+    while cl.is_flag():
+        arg = cl.current()
+        if arg in ("-?", "-h", "--help"):
+            _help()
+            return
+        elif arg in ("-C", "--Centre-data"):
+            centre = cl.get_bool(); cl.advance()
+        elif arg in ("-L", "--Learn-scales"):
+            learn_scales = cl.get_bool(); cl.advance()
+        elif arg in ("-S", "--Scale-data"):
+            scale_data = cl.get_bool(); cl.advance()
+        elif arg in ("-a", "--active-set-size"):
+            active = cl.get_int(); cl.advance()
+        elif arg in ("-A", "--Approximation-type"):
+            approx = cl.get_string(); cl.advance()
+        elif arg in ("-O", "--optimiser"):
+            optimiser = cl.get_string(); cl.advance()
+        elif arg in ("-#", "--#iterations"):
+            iters = cl.get_int(); cl.advance()
+        elif arg in ("-f", "--file-format"):
+            cl.file_format = cl.get_int(); cl.advance()
+        elif ks.handle(cl):
+            pass
+        else:
+            raise ExitError(f"Unrecognised flag: {cl.current()}")
+    data_file = cl.current()
+    if cl.pos + 1 < len(cl.argv):
+        model_file = cl.argv[cl.pos + 1]
+
+    X, y = load_data(data_file)
+    kern, kern_params = ks.build(X.shape[1], default_type="rbf")
+
+    if approx == "ftc":
+        active = 0
+    elif approx == "fitc":
+        raise ExitError("FITC Approximation currently not working.")
+    elif approx == "pitc":
+        raise ExitError("PITC not yet implemented.")
+    elif approx == "dtcvar":
+        print("Warning: numerical stabilities exist in DTCVAR approximation.")
+    elif approx != "dtc":
+        raise ExitError(f"Unknown sparse approximation type: {approx}.")
+    if approx != "ftc" and active <= 0:
+        raise ExitError("You must choose an active set size (option -a) for the command learn.")
+    if optimiser not in ("scg", "conjgrad", "graddesc", "quasinew"):
+        raise ExitError(f"Unrecognised optimiser type: {optimiser}")
+
+    model = GP(kern, X, y, approx=approx, num_active=max(active, 0),
+               learn_scales=learn_scales, centre=centre, scale_data=scale_data,
+               beta=1.0, seed=cl.seed)
+    # overwrite kernel init with the CLI-specified parameters
+    import jax.numpy as jnp
+    model.theta = jnp.asarray(model.spec.pack(
+        kern_params, X_u=model.inducing(),
+        scales=model.fixed_scales if learn_scales else None,
+        beta=1.0 if model.spec.sparse else None))
+    res = model.optimise(iters=iters)
+    if cl.verbosity > 0:
+        print(model.display())
+        print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")
+    comment = "Run as: " + " ".join(sys.argv) + f" with seed {cl.seed}."
+    model_io.write_gp(model_file, model, comment)
+
+
+def relearn(cl: CommandLine):
+    cl.advance()
+    cl.mode = "relearn"
+    iters = 1000
+    while cl.is_flag():
+        arg = cl.current()
+        if arg in ("-#", "--#iterations"):
+            iters = cl.get_int(); cl.advance()
+        else:
+            raise ExitError(f"Unrecognised flag: {cl.current()}")
+    data_file = cl.current()
+    model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "gp_model"
+    X, y = load_data(data_file)
+    model = model_io.read_gp(model_file, X=X, y=y)
+    res = model.optimise(iters=iters)
+    if cl.verbosity > 0:
+        print(model.display())
+        print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")
+    comment = "Run as: " + " ".join(sys.argv) + f" with seed {cl.seed}."
+    model_io.write_gp(model_file, model, comment)
+
+
+def display(cl: CommandLine):
+    cl.advance()
+    model_file = cl.current() if cl.has_more() else "gp_model"
+    model = model_io.read_gp(model_file)
+    print(model.display())
+
+
+def gnuplot(cl: CommandLine):
+    """Emit plot artifacts (gp.cpp:567-906): 1-D line + ±2σ error bars, 2-D mesh,
+    scatter data, active-set points; plus the driving gnuplot script."""
+    cl.advance()
+    cl.mode = "gnuplot"
+    resolution = 80
+    point_size, line_width = 2.0, 2.0
+    name = "gp"
+    model_file = "gp_model"
+    while cl.is_flag():
+        arg = cl.current()
+        if arg in ("-p", "--point-size"):
+            point_size = cl.get_double(); cl.advance()
+        elif arg in ("-r", "--resolution"):
+            resolution = cl.get_int(); cl.advance()
+        else:
+            raise ExitError(f"Unrecognised flag: {cl.current()}")
+    data_file = cl.current()
+    if cl.pos + 1 < len(cl.argv):
+        model_file = cl.argv[cl.pos + 1]
+    if cl.pos + 2 < len(cl.argv):
+        name = cl.argv[cl.pos + 2]
+
+    X, y = load_data(data_file)
+    model = model_io.read_gp(model_file, X=X, y=y)
+    q = model.spec.input_dim
+    if q > 2:
+        raise ExitError("Incorrect number of model inputs.")
+    sigma2 = float(model.noise_params[-1]) if getattr(model, "noise_params", None) is not None else 1e-6
+
+    if model.spec.sparse:
+        Xu = model.inducing()
+        mu_u, _ = model.predict(Xu)
+        write_unheaded(f"{name}_active_set.dat", np.hstack([Xu, np.asarray(mu_u)[:, :1]]))
+    write_unheaded(f"{name}_scatter_data.dat", np.hstack([X, y[:, :1]]))
+
+    mins, maxs = X.min(axis=0), X.max(axis=0)
+    if q == 2:
+        nx = ny = resolution
+        xs = np.linspace(mins[0], maxs[0], nx)
+        ys = np.linspace(mins[1], maxs[1], ny)
+        XX, YY = np.meshgrid(xs, ys)
+        grid = np.column_stack([XX.ravel(), YY.ravel()])
+        mu, _ = model.predict(grid)
+        mu = np.asarray(mu)[:, 0].reshape(ny, nx)
+        with open(f"{name}_output_matrix.dat", "w") as f:
+            f.write("# Prepared plot of model file \n")
+            for i in range(ny):
+                for j in range(nx):
+                    f.write(f"{xs[j]:.17e} {ys[i]:.17e} {mu[i, j]:.17e}\n")
+                f.write("\n")
+        with open(f"{name}_plot.gp", "w") as f:
+            f.write(f'splot "{name}_output_matrix.dat"  with lines lw {line_width}'
+                    f', "{name}_scatter_data.dat" with points ps {point_size}')
+            if model.spec.sparse:
+                f.write(f', "{name}_active_set.dat" with points ps {point_size}\n')
+            f.write("pause -1")
+    else:
+        overlap = 0.25
+        span = maxs[0] - mins[0]
+        lo, hi = mins[0] - overlap * span, maxs[0] + overlap * span
+        xs = np.linspace(lo, hi, resolution)
+        mu, var = model.predict(xs.reshape(-1, 1))
+        mu = np.asarray(mu)[:, 0]
+        std = np.sqrt(np.asarray(var)[:, 0] + sigma2)
+        write_unheaded(f"{name}_line_data.dat", np.column_stack([xs, mu]))
+        with open(f"{name}_error_bar_data.dat", "w") as f:
+            f.write("# Prepared plot of model file \n")
+            for xv, m, s in zip(xs, mu, std):
+                f.write(f"{xv:.17e} {m + 2 * s:.17e}\n")
+            f.write("\n")
+            for xv, m, s in zip(xs, mu, std):
+                f.write(f"{xv:.17e} {m - 2 * s:.17e}\n")
+        with open(f"{name}_plot.gp", "w") as f:
+            f.write(f'plot "{name}_line_data.dat" with lines lw {line_width}'
+                    f', "{name}_scatter_data.dat" with points ps {point_size}')
+            if model.spec.sparse:
+                f.write(f', "{name}_active_set.dat" with points ps {point_size}')
+            f.write(f', "{name}_error_bar_data.dat" with lines lw {line_width}\n')
+            f.write("pause -1")
+
+
+COMMANDS = {"learn": learn, "relearn": relearn, "display": display, "gnuplot": gnuplot}
+
+
+def main(argv=None):
+    from gpc_tpu.cli.common import setup_jax
+    setup_jax()
+    cl = CommandLine(argv if argv is not None else sys.argv[1:])
+    cl.eat_global_flags()
+    if not cl.has_more():
+        _help()
+        raise ExitError("No command provided.")
+    np.random.seed(cl.seed % (2 ** 32))
+    cmd = cl.current()
+    if cmd not in COMMANDS:
+        _help()
+        raise ExitError(f"Invalid gp command provided: {cmd}")
+    try:
+        COMMANDS[cmd](cl)
+    except FileNotFoundError as e:
+        raise ExitError(f"Unable to read file {e.filename}.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,319 @@
+"""Reference-compatible text model files (version=0.2 `field=value` streams).
+
+Counterpart of CNdlInterfaces.h:21-189 + the writeParamsToStream/readParamsFromStream
+chain of CGp (CGp.cpp:1606-1682), CKern (CKern.cpp:15-46, 113-137), CNoise
+(CNoise.cpp:275-286) and CMatrix (CMatrix.cpp:1057-1122).  Files written by the
+reference `gp` binary load here and vice versa: every nested object emits its own
+`version=0.200000` line (fixed, 6 decimals) followed by fields; matrices are
+`baseType=matrix / type=doubleMatrix / numRows= / numCols=` then rows of
+17-digit scientific values; `#` lines are comments (ndlstrutil::getline skips).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import math
+
+import numpy as np
+
+from gpc_tpu import kernels as KM
+from gpc_tpu import priors as priors_mod
+
+VERSION = 0.2
+APPROX_CODE = {"ftc": 0, "dtc": 1, "fitc": 2, "pitc": 3, "dtcvar": 4}
+APPROX_NAME = {v: k for k, v in APPROX_CODE.items()}
+
+
+# ---------------------------------------------------------------------------
+# low-level stream helpers
+# ---------------------------------------------------------------------------
+
+class Reader:
+    def __init__(self, text: str):
+        # comment lines are skipped wherever they appear (ndlstrutil.h:17-18)
+        self.lines = [ln.rstrip("\r") for ln in text.splitlines()
+                      if ln.strip() and not ln.lstrip().startswith("#")]
+        self.pos = 0
+
+    def line(self) -> str:
+        if self.pos >= len(self.lines):
+            raise ValueError("Unexpected end of stream")
+        ln = self.lines[self.pos]
+        self.pos += 1
+        return ln
+
+    def field(self, name: str) -> str:
+        ln = self.line()
+        key, _, val = ln.partition("=")
+        if key != name:
+            raise ValueError(f"Stream format error: expected field {name}, got {key}")
+        return val
+
+    def int_(self, name): return int(float(self.field(name)))
+    def float_(self, name): return float(self.field(name))
+    def bool_(self, name): return self.int_(name) != 0
+
+    def version(self):
+        v = self.float_("version")
+        if v < VERSION:
+            raise ValueError(f"Stream version {v} below minimum {VERSION}")
+        return v
+
+    def matrix(self) -> np.ndarray:
+        self.version()
+        if self.field("baseType") != "matrix":
+            raise ValueError("Unexpected base type (wanted matrix)")
+        if self.field("type") != "doubleMatrix":
+            raise ValueError("Unexpected matrix type")
+        rows = self.int_("numRows")
+        cols = self.int_("numCols")
+        out = np.zeros((rows, cols))
+        for i in range(rows):
+            toks = self.line().split()
+            if len(toks) != cols:
+                raise ValueError(f"Incorrect number of columns in row {i}")
+            out[i] = [float(t) for t in toks]
+        return out
+
+
+class Writer:
+    def __init__(self):
+        self.buf = _io.StringIO()
+
+    def field(self, name, val):
+        if isinstance(val, bool):
+            val = int(val)
+        if isinstance(val, float):
+            val = f"{val:.17e}"
+        self.buf.write(f"{name}={val}\n")
+
+    def version(self):
+        self.buf.write(f"version={VERSION:.6f}\n")
+
+    def matrix(self, M: np.ndarray):
+        M = np.atleast_2d(np.asarray(M, dtype=np.float64))
+        self.version()
+        self.field("baseType", "matrix")
+        self.field("type", "doubleMatrix")
+        self.field("numRows", M.shape[0])
+        self.field("numCols", M.shape[1])
+        for i in range(M.shape[0]):
+            self.buf.write(" ".join(f"{v:.17e}" for v in M[i]) + "\n")
+
+    def text(self) -> str:
+        return self.buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# priors (CRegularisable::writePriorsToStream, CDist.h:281-303)
+# ---------------------------------------------------------------------------
+
+_PRIOR_NPARAMS = {"gaussian": 1, "gamma": 2, "wang": 1}
+
+
+def _write_prior(w: Writer, prior):
+    w.field("priorIndex", prior.index)
+    w.version()
+    w.field("baseType", "dist")
+    w.field("type", prior.kind)
+    w.field("numParams", _PRIOR_NPARAMS[prior.kind])
+    w.matrix(np.asarray(prior.hyp).reshape(1, -1))
+
+
+def _read_prior(r: Reader):
+    idx = int(float(r.field("priorIndex")))
+    r.version()
+    r.field("baseType")
+    kind = r.field("type")
+    n = r.int_("numParams")
+    hyp = r.matrix().reshape(-1)
+    if len(hyp) != n:
+        raise ValueError("prior numParams mismatch")
+    return priors_mod.Prior(kind, tuple(float(h) for h in hyp), idx)
+
+
+# ---------------------------------------------------------------------------
+# kernels (CKern.cpp:15-46; CComponentKern.cpp:113-137; CPolyKern:2668-2684;
+# CWhitefixedKern:773-793; factory readKernFromStream CKern.cpp:4192-4259)
+# ---------------------------------------------------------------------------
+
+def write_kern(w: Writer, kern: KM.Kern, params: np.ndarray):
+    params = np.asarray(params)
+    w.version()
+    w.field("baseType", "kern")
+    w.field("type", kern.kind)
+    w.field("inputDim", kern.input_dim)
+    w.field("numParams", kern.n_params)
+    if kern.kind in ("cmpnd", "tensor"):
+        w.field("numKerns", len(kern.components))
+        off = kern.offsets()
+        for i, c in enumerate(kern.components):
+            write_kern(w, c, params[off[i]:off[i + 1]])
+        return
+    if kern.kind == "whitefixed":
+        w.field("variance", float(kern.fixed_variance))
+        return
+    if kern.kind in ("poly", "polyard"):
+        deg = kern.degree
+        w.field("degree", int(deg) if deg == int(deg) else deg)
+    w.matrix(params.reshape(1, -1))
+    w.field("numPriors", len(kern.priors))
+    for pr in kern.priors:
+        _write_prior(w, pr)
+
+
+def read_kern(r: Reader):
+    """Returns (kern, params)."""
+    r.version()
+    r.field("baseType")
+    kind = r.field("type")
+    input_dim = r.int_("inputDim")
+    n_params = r.int_("numParams")
+    if kind in ("cmpnd", "tensor"):
+        num_kerns = r.int_("numKerns")
+        children, child_params = [], []
+        for _ in range(num_kerns):
+            c, cp = read_kern(r)
+            children.append(c)
+            child_params.append(cp)
+        kern = KM.make_kern(kind, input_dim, components=tuple(children))
+        params = np.concatenate(child_params) if child_params else np.zeros(0)
+        return kern, params
+    if kind == "whitefixed":
+        var = r.float_("variance")
+        return KM.WhiteFixed(input_dim=input_dim, fixed_variance=var), np.zeros(0)
+    kwargs = {}
+    if kind in ("poly", "polyard"):
+        kwargs["degree"] = r.float_("degree")
+    params = r.matrix().reshape(-1)
+    if len(params) != n_params:
+        raise ValueError("Listed number of parameters does not match computed number of parameters.")
+    num_priors = r.int_("numPriors")
+    priors = tuple(_read_prior(r) for _ in range(num_priors))
+    kern = KM.make_kern(kind, input_dim, **kwargs).with_priors(priors)
+    return kern, params
+
+
+# ---------------------------------------------------------------------------
+# noise models (CNoise.cpp:275-286; factory CNoise.cpp:1813-1832)
+# ---------------------------------------------------------------------------
+
+def write_noise(w: Writer, noise_type: str, params: np.ndarray, output_dim: int,
+                extra_fields=None):
+    w.version()
+    w.field("baseType", "noise")
+    w.field("type", noise_type)
+    w.field("outputDim", output_dim)
+    w.field("numParams", len(np.atleast_1d(params)))
+    for name, val in (extra_fields or []):
+        w.field(name, val)
+    w.matrix(np.asarray(params).reshape(1, -1))
+
+
+def read_noise(r: Reader):
+    """Returns (noise_type, params, output_dim, extra)."""
+    r.version()
+    r.field("baseType")
+    ntype = r.field("type")
+    output_dim = r.int_("outputDim")
+    n = r.int_("numParams")
+    extra = {}
+    # ncnm serializes gammaSplit, ordered serializes numCats before params
+    # (CNoise.cpp:1376-1387, 1770-1780)
+    if ntype == "ncnm":
+        extra["gammaSplit"] = r.int_("gammaSplit")
+    if ntype == "ordered":
+        extra["numCats"] = r.int_("numCats")
+    params = r.matrix().reshape(-1)
+    if len(params) != n:
+        raise ValueError("noise numParams mismatch")
+    return ntype, params, output_dim, extra
+
+
+# ---------------------------------------------------------------------------
+# GP model files (CGp.cpp:1655-1682 write, 1606-1653 read)
+# ---------------------------------------------------------------------------
+
+def write_gp(path, model, comment: str = ""):
+    """model: gpc_tpu.models.gp.GP"""
+    spec = model.spec
+    w = Writer()
+    if comment:
+        w.buf.write(f"# {comment}\n")
+    w.version()
+    w.field("baseType", "dataModel")
+    w.field("type", "gp")
+    w.field("numData", spec.n_data)
+    w.field("outputDim", spec.output_dim)
+    w.field("inputDim", spec.input_dim)
+    w.field("sparseApproximation", APPROX_CODE[spec.approx])
+    w.field("numActive", spec.num_active)
+    if spec.sparse:
+        beta_mat = np.full((spec.n_data, spec.output_dim), model.beta())
+        w.matrix(beta_mat)
+    w.field("learnScale", spec.learn_scales)
+    w.field("learnBias", False)
+    w.matrix(np.asarray(model.scales()).reshape(1, -1))
+    w.matrix(np.asarray(model.bias).reshape(1, -1))
+    write_kern(w, spec.kern, model.kern_params())
+    noise_type = getattr(model, "noise_type", "gaussian")
+    noise_params = getattr(model, "noise_params", None)
+    if noise_params is None:
+        noise_params = np.concatenate([np.zeros(spec.output_dim), [1e-6]])
+    write_noise(w, noise_type, noise_params, spec.output_dim)
+    if spec.sparse:
+        w.field("fixInducing", spec.inducing_fixed)
+        w.matrix(np.asarray(model.inducing()))
+    with open(path, "w") as f:
+        f.write(w.text())
+
+
+def read_gp(path, X=None, y=None):
+    """Load a gp model file; re-attach data if given (readGpFromFile re-attaches
+    py/pX at the CLI layer, gp.cpp:620-622).  Returns a GP with restored state."""
+    from gpc_tpu.models.gp import GP
+
+    with open(path) as f:
+        r = Reader(f.read())
+    r.version()
+    if r.field("baseType") != "dataModel" or r.field("type") != "gp":
+        raise ValueError("not a gp model file")
+    n_data = r.int_("numData")
+    output_dim = r.int_("outputDim")
+    input_dim = r.int_("inputDim")
+    approx = APPROX_NAME[r.int_("sparseApproximation")]
+    num_active = r.int_("numActive")
+    beta = None
+    if approx != "ftc":
+        beta = float(r.matrix()[0, 0])
+    learn_scale = r.bool_("learnScale")
+    r.bool_("learnBias")
+    scales = r.matrix().reshape(-1)
+    bias = r.matrix().reshape(-1)
+    kern, kern_params = read_kern(r)
+    noise_type, noise_params, _, noise_extra = read_noise(r)
+    X_u = None
+    inducing_fixed = False
+    if approx != "ftc":
+        inducing_fixed = r.bool_("fixInducing")
+        X_u = r.matrix()
+
+    if X is None:
+        X = np.zeros((n_data, input_dim))
+    if y is None:
+        y = np.zeros((n_data, output_dim))
+    model = GP(kern, X, y, approx=approx, num_active=num_active,
+               learn_scales=learn_scale, centre=False)
+    model.bias = bias
+    model.fixed_scales = scales
+    model.noise_type = noise_type
+    model.noise_params = noise_params
+    model.noise_extra = noise_extra
+    model.theta = __import__("jax.numpy", fromlist=["asarray"]).asarray(
+        model.spec.pack(kern_params, X_u=X_u,
+                        scales=scales if learn_scale else None,
+                        beta=beta))
+    # rebuild objective with restored bias/scales
+    from gpc_tpu.models.gp import make_objective
+    model._objective = make_objective(model.spec, X, y, model.bias, model.fixed_scales)
+    return model
