@@ -9,6 +9,7 @@ width, gp.cpp:162-169; `-v/-w/-b/-d/-i`).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -153,9 +154,18 @@ class KernelSpecParser:
         cl.advance()
         return True
 
+    # per-kind variance parameter index for NCNM gamma priors (ivm.cpp:516-616;
+    # ratquad's index-1 — the lengthScale — replicates the reference literally)
+    _VAR_PRIOR_INDEX = {"lin": 0, "linard": 0, "poly": 2, "polyard": 2,
+                        "rbf": 1, "rbfard": 1, "ratquad": 1, "mlp": 2,
+                        "mlpard": 2, "bias": 0, "white": 0}
+
     def build(self, input_dim: int, usage="fwd", default_type=None,
-              add_bias_white=True):
-        """Assemble the compound kernel + params (gp.cpp:240-349)."""
+              add_bias_white=True, variance_prior=None):
+        """Assemble the compound kernel + params (gp.cpp:240-349).
+
+        variance_prior: optional Prior attached to each component's variance
+        (the NCNM L1-style regularizer, ivm.cpp:422-425, 516-616)."""
         comps = []
         params = []
         for i, t in enumerate(self.types):
@@ -220,16 +230,24 @@ class KernelSpecParser:
                     p[0] = self.variances[i]
             else:
                 raise ExitError(f"Unknown covariance function type: {t}")
+            if variance_prior is not None and t in self._VAR_PRIOR_INDEX and t != "exp":
+                k = k.with_priors([dataclasses.replace(
+                    variance_prior, index=self._VAR_PRIOR_INDEX[t])])
             comps.append(k)
             params.append(p)
 
         if not comps and default_type is not None:
             k = KM.make_kern(default_type, input_dim)
+            if variance_prior is not None and default_type in self._VAR_PRIOR_INDEX:
+                k = k.with_priors([dataclasses.replace(
+                    variance_prior, index=self._VAR_PRIOR_INDEX[default_type])])
             comps.append(k)
             params.append(k.default_params())
         if add_bias_white:
             # fwd kernels always get bias + white appended (gp.cpp:346-349)
             for k in (KM.Bias(input_dim=input_dim), KM.White(input_dim=input_dim)):
+                if variance_prior is not None:
+                    k = k.with_priors([dataclasses.replace(variance_prior, index=0)])
                 comps.append(k)
                 params.append(k.default_params())
         kern = KM.Cmpnd(input_dim=input_dim, components=tuple(comps))

@@ -199,14 +199,22 @@ def read_kern(r: Reader):
 # ---------------------------------------------------------------------------
 
 def write_noise(w: Writer, noise_type: str, params: np.ndarray, output_dim: int,
-                extra_fields=None):
+                n_data: int = 1, extra=None):
+    """Base format CNoise.cpp:275-286; ncnm adds numData+gammaSplit
+    (CNoise.cpp:1376-1387), ordered adds numData+numCategories
+    (CNoise.cpp:1770-1781)."""
+    extra = extra or {}
     w.version()
     w.field("baseType", "noise")
     w.field("type", noise_type)
+    if noise_type in ("ncnm", "ordered"):
+        w.field("numData", n_data)
     w.field("outputDim", output_dim)
     w.field("numParams", len(np.atleast_1d(params)))
-    for name, val in (extra_fields or []):
-        w.field(name, val)
+    if noise_type == "ncnm":
+        w.field("gammaSplit", int(extra.get("gammaSplit", 0)))
+    if noise_type == "ordered":
+        w.field("numCategories", int(extra.get("numCategories", 3)))
     w.matrix(np.asarray(params).reshape(1, -1))
 
 
@@ -215,19 +223,30 @@ def read_noise(r: Reader):
     r.version()
     r.field("baseType")
     ntype = r.field("type")
+    extra = {}
+    if ntype in ("ncnm", "ordered"):
+        extra["numData"] = r.int_("numData")
     output_dim = r.int_("outputDim")
     n = r.int_("numParams")
-    extra = {}
-    # ncnm serializes gammaSplit, ordered serializes numCats before params
-    # (CNoise.cpp:1376-1387, 1770-1780)
     if ntype == "ncnm":
         extra["gammaSplit"] = r.int_("gammaSplit")
     if ntype == "ordered":
-        extra["numCats"] = r.int_("numCats")
+        extra["numCategories"] = r.int_("numCategories")
     params = r.matrix().reshape(-1)
     if len(params) != n:
         raise ValueError("noise numParams mismatch")
     return ntype, params, output_dim, extra
+
+
+def make_noise_from_stream(ntype, params, output_dim, extra):
+    """Instantiate a gpc_tpu.noise model from stream fields."""
+    from gpc_tpu import noise as NZ
+    kwargs = {}
+    if ntype == "ncnm":
+        kwargs["split_gamma"] = bool(extra.get("gammaSplit", 0))
+    if ntype == "ordered":
+        kwargs["num_categories"] = int(extra.get("numCategories", 3))
+    return NZ.make_noise(ntype, output_dim, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +285,86 @@ def write_gp(path, model, comment: str = ""):
         w.matrix(np.asarray(model.inducing()))
     with open(path, "w") as f:
         f.write(w.text())
+
+
+def write_ivm(path, model, comment: str = ""):
+    """model: gpc_tpu.models.ivm.IVM (CIvm::writeParamsToStream, CIvm.cpp:773-790)."""
+    spec = model.spec
+    st = model.state
+    w = Writer()
+    if comment:
+        w.buf.write(f"# {comment}\n")
+    w.version()
+    w.field("baseType", "dataModel")
+    w.field("type", "ivm")
+    w.field("numData", spec.n_data)
+    w.field("outputDim", spec.output_dim)
+    w.field("inputDim", spec.input_dim)
+    w.field("numActive", spec.num_active)
+    write_kern(w, spec.kern, np.asarray(model.kern_params))
+    extra = {}
+    if spec.noise.kind == "ncnm":
+        extra["gammaSplit"] = int(spec.noise.split_gamma)
+    if spec.noise.kind == "ordered":
+        extra["numCategories"] = spec.noise.num_categories
+    write_noise(w, spec.noise.kind, np.asarray(model.noise_params),
+                spec.output_dim, n_data=spec.n_data, extra=extra)
+    order = np.asarray(st.active_idx)
+    w.field("activeSet", " ".join(str(int(i)) for i in order))
+    w.matrix(np.asarray(model.y)[order])
+    w.matrix(np.asarray(model.X)[order])
+    w.matrix(np.asarray(st.m_site))
+    w.matrix(np.asarray(st.beta_site))
+    with open(path, "w") as f:
+        f.write(w.text())
+
+
+def read_ivm(path, X=None, y=None):
+    """Load an ivm model file (CIvm::readParamsFromStream, CIvm.cpp:791-860).
+
+    Returns an IVM with kernel/noise params and a restored active set/site
+    state (L rebuilt from K+B⁻¹ like the reference)."""
+    import jax.numpy as jnp
+    from gpc_tpu.models.ivm import IVM, IvmState
+
+    with open(path) as f:
+        r = Reader(f.read())
+    r.version()
+    if r.field("baseType") != "dataModel" or r.field("type") != "ivm":
+        raise ValueError("not an ivm model file")
+    n_data = r.int_("numData")
+    output_dim = r.int_("outputDim")
+    input_dim = r.int_("inputDim")
+    num_active = r.int_("numActive")
+    kern, kern_params = read_kern(r)
+    ntype, nparams, nod, nextra = read_noise(r)
+    noise = make_noise_from_stream(ntype, nparams, nod, nextra)
+    active = np.array([int(t) for t in r.field("activeSet").split()], dtype=np.int32)
+    activeY = r.matrix()
+    activeX = r.matrix()
+    m_site = r.matrix()
+    beta_site = r.matrix()
+
+    if X is None:
+        X = np.zeros((n_data, input_dim))
+        X[active] = activeX
+    if y is None:
+        y = np.zeros((n_data, output_dim))
+        y[active] = activeY
+    model = IVM(kern, noise, X, y, num_active=num_active,
+                kern_params=kern_params, noise_params=nparams)
+    mask = np.zeros(n_data, bool)
+    mask[active] = True
+    model.state = IvmState(
+        active_idx=jnp.asarray(active),
+        active_mask=jnp.asarray(mask),
+        m_site=jnp.asarray(m_site),
+        beta_site=jnp.asarray(beta_site),
+        mu=jnp.zeros((n_data, output_dim)),
+        varsigma=jnp.zeros((n_data, output_dim)),
+        nu=jnp.zeros((n_data, output_dim)),
+        g=jnp.zeros((n_data, output_dim)))
+    return model
 
 
 def read_gp(path, X=None, y=None):
