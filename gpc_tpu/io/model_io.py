@@ -367,6 +367,96 @@ def read_ivm(path, X=None, y=None):
     return model
 
 
+def write_gplvm(path, model, labels=None, comment: str = ""):
+    """model: gpc_tpu.models.gplvm.GPLVM (CGplvm::writeParamsToStream,
+    CGplvm.cpp: format header + kern + [dynKern] + noise + Y/X data block)."""
+    spec = model.spec
+    w = Writer()
+    if comment:
+        w.buf.write(f"# {comment}\n")
+    w.version()
+    w.field("baseType", "dataModel")
+    w.field("type", "gplvm")
+    w.field("numData", spec.n_data)
+    w.field("outputDim", spec.data_dim)
+    w.field("inputDim", spec.latent_dim)
+    w.field("latentRegularised", spec.latent_regularised)
+    w.field("backConstrained", spec.back_constrained)
+    w.field("dynamicsLearnt", spec.has_dynamics)
+    write_kern(w, spec.kern, model.kern_params())
+    if spec.has_dynamics:
+        write_kern(w, spec.dyn_kern, model.dyn_kern_params())
+    # scale noise: params [bias×D, scale×D] (CScaleNoise::getParams)
+    noise_params = np.concatenate([model.noise_bias, model.scales()])
+    write_noise(w, "scale", noise_params, spec.data_dim)
+    header = f"Y:{spec.data_dim},X:{spec.latent_dim}"
+    if labels is not None:
+        header += ",labels:1"
+    w.buf.write(header + "\n")
+    X = model.latent_X()
+    y = np.asarray(model.y)
+    for i in range(spec.n_data):
+        row = " ".join(f"{v:.17e}" for v in y[i]) + " " + \
+              " ".join(f"{v:.17e}" for v in X[i])
+        if labels is not None:
+            row += f" {int(labels[i])}"
+        w.buf.write(row + " \n" if labels is None else row + "\n")
+    with open(path, "w") as f:
+        f.write(w.text())
+
+
+def read_gplvm(path):
+    """Load a gplvm model file.  Returns (model, labels or None)."""
+    from gpc_tpu.models.gplvm import GPLVM
+
+    with open(path) as f:
+        r = Reader(f.read())
+    r.version()
+    if r.field("baseType") != "dataModel" or r.field("type") != "gplvm":
+        raise ValueError("not a gplvm model file")
+    n_data = r.int_("numData")
+    data_dim = r.int_("outputDim")
+    latent_dim = r.int_("inputDim")
+    latent_reg = r.bool_("latentRegularised")
+    back = r.bool_("backConstrained")
+    dyn = r.bool_("dynamicsLearnt")
+    kern, kern_params = read_kern(r)
+    dyn_kern, dyn_params = (None, None)
+    if dyn:
+        dyn_kern, dyn_params = read_kern(r)
+    ntype, nparams, _, _ = read_noise(r)
+    header = r.line()
+    has_labels = "labels:1" in header
+    Y = np.zeros((n_data, data_dim))
+    X = np.zeros((n_data, latent_dim))
+    labels = [] if has_labels else None
+    for i in range(n_data):
+        toks = r.line().split()
+        Y[i] = [float(t) for t in toks[:data_dim]]
+        X[i] = [float(t) for t in toks[data_dim:data_dim + latent_dim]]
+        if has_labels:
+            labels.append(int(float(toks[data_dim + latent_dim])))
+
+    bias = nparams[:data_dim]
+    scales = nparams[data_dim:]
+    model = GPLVM(kern, Y, latent_dim=latent_dim, dyn_kern=dyn_kern,
+                  dyn_kern_params=dyn_params, centre=False,
+                  latent_regularised=latent_reg)
+    model.noise_bias = bias
+    model.fixed_scales = scales
+    import jax.numpy as jnp
+    model.theta = jnp.asarray(model.spec.pack(
+        kern_params, X,
+        dyn_params=dyn_params if (dyn and model.spec.dyn_kern_learnt) else None,
+        scales=None))
+    model._objective = model._make_objective()
+    if back:
+        # back-constraint kernel info is not serialized by the reference either
+        # (CGplvm.cpp: 'In future back constraint info goes here')
+        pass
+    return model, (np.asarray(labels) if has_labels else None)
+
+
 def read_gp(path, X=None, y=None):
     """Load a gp model file; re-attach data if given (readGpFromFile re-attaches
     py/pX at the CLI layer, gp.cpp:620-622).  Returns a GP with restored state."""
