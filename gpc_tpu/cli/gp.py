@@ -95,7 +95,7 @@ def learn(cl: CommandLine):
         kern_params, X_u=model.inducing(),
         scales=model.fixed_scales if learn_scales else None,
         beta=1.0 if model.spec.sparse else None))
-    res = model.optimise(iters=iters)
+    res = model.optimise(iters=iters, optimiser=optimiser)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

@@ -33,6 +33,7 @@ def learn(cl: CommandLine):
     centre, scale_data = True, False
     learn_scales, regularise = False, True
     init_type = "pca"
+    optimiser = "scg"
     dynamics_used = False
     dynamics_ratio = 20.0
     dynamics_ratio_set = False
@@ -82,8 +83,8 @@ def learn(cl: CommandLine):
         elif arg in ("-S", "--Scale-data"):
             scale_data = cl.get_bool(); cl.advance()
         elif arg in ("-O", "--optimiser"):
-            opt = cl.get_string(); cl.advance()
-            if opt not in ("scg", "conjgrad", "graddesc", "quasinew"):
+            optimiser = cl.get_string(); cl.advance()
+            if optimiser not in ("scg", "conjgrad", "graddesc", "quasinew"):
                 raise ExitError("Unrecognised model optimiser type.")
         elif arg in ("-#", "--#iterations"):
             iters = cl.get_int(); cl.advance()
@@ -148,7 +149,7 @@ def learn(cl: CommandLine):
         np.asarray(model.spec.unpack(model.theta)[2]),
         dyn_params=dyn_params if (dyn_kern is not None and dyn_learnt) else None,
         scales=model.fixed_scales if learn_scales else None))
-    res = model.optimise(iters=iters)
+    res = model.optimise(iters=iters, optimiser=optimiser)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

@@ -34,6 +34,7 @@ from gpc_tpu import transforms as tr
 from gpc_tpu import priors as priors_mod
 from gpc_tpu.kernels import Kern
 from gpc_tpu.optim.scg import scg
+from gpc_tpu.optim import run_optimiser
 
 FTC, DTC, DTCVAR, FITC = "ftc", "dtc", "dtcvar", "fitc"
 _SPARSE = (DTC, DTCVAR, FITC)
@@ -283,12 +284,14 @@ class GP:
         return -float(self._objective(self.theta))
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
-                 obj_tol: float = 1e-6):
-        """SCG by default (runDefaultOptimiser, COptimisable.h:183-203)."""
+                 obj_tol: float = 1e-6, optimiser: str = "scg"):
+        """SCG by default (runDefaultOptimiser, COptimisable.h:183-203);
+        conjgrad/graddesc/quasinew per the reference optimiser names
+        (COptimisable.h:153-182)."""
         vag = jax.jit(jax.value_and_grad(self._objective))
-        res = scg(vag, self.theta, max_iters=iters,
-                  param_tol=param_tol, obj_tol=obj_tol)
-        self.theta = res.x
+        res = run_optimiser(optimiser, vag, self.theta, iters,
+                            param_tol=param_tol, obj_tol=obj_tol)
+        self.theta = jnp.asarray(res.x)
         return res
 
     def predict(self, Xtest):

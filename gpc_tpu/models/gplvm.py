@@ -34,6 +34,7 @@ from gpc_tpu import transforms as tr
 from gpc_tpu import priors as priors_mod
 from gpc_tpu.kernels import Kern
 from gpc_tpu.optim.scg import scg
+from gpc_tpu.optim import run_optimiser
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,11 +265,11 @@ class GPLVM:
         return -float(self._objective(self.theta))
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
-                 obj_tol: float = 1e-6):
+                 obj_tol: float = 1e-6, optimiser: str = "scg"):
         vag = jax.jit(jax.value_and_grad(self._objective))
-        res = scg(vag, self.theta, max_iters=iters, param_tol=param_tol,
-                  obj_tol=obj_tol)
-        self.theta = res.x
+        res = run_optimiser(optimiser, vag, self.theta, iters,
+                            param_tol=param_tol, obj_tol=obj_tol)
+        self.theta = jnp.asarray(res.x)
         return res
 
     # -- accessors ----------------------------------------------------------
