@@ -1,0 +1,104 @@
+"""Benchmark: Gram + Cholesky GP-evidence pipeline throughput at N=16k.
+
+The BASELINE.json headline metric: per-chip GFLOP/s of the fused pipeline
+  K = rbf-Gram(X)  (one 2·N²·q matmul + elementwise map, MXU)
+  L = chol(K + jitter·I)                     (N³/3)
+  quad = ‖L⁻¹m‖², logdet = 2Σlog diag L      (2·N²·D)
+— i.e. exactly the hot block of CGp::logLikelihood — against a measured
+matmul-roofline proxy on the same chip.  Prints ONE JSON line:
+  {"metric": ..., "value": GFLOP/s, "unit": ..., "vs_baseline": fraction of
+   the 80%-of-roofline BASELINE target achieved (1.0 = target met)}.
+
+Run on the TPU by default (the driver does); GPC_TPU_PLATFORM=cpu uses a
+smaller N so the run stays bounded.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    plat = os.environ.get("GPC_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    N = 16384 if on_tpu else 2048
+    q = 8
+    D = 1
+    dtype = jnp.float32
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((N, q)), dtype)
+    m = jnp.asarray(rng.standard_normal((N, D)), dtype)
+
+    # --- roofline proxy: big bf16 matmul with f32 accumulation --------------
+    B = 8192 if on_tpu else 2048
+    A1 = jnp.asarray(rng.standard_normal((B, B)), jnp.bfloat16)
+    A2 = jnp.asarray(rng.standard_normal((B, B)), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    mm(A1, A2).block_until_ready()  # compile
+    reps = 8
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = mm(A1, A2)
+    out.block_until_ready()
+    t_mm = (time.perf_counter() - t0) / reps
+    roofline_gflops = 2 * B ** 3 / t_mm / 1e9
+
+    # --- the pipeline -------------------------------------------------------
+    inv_width = jnp.asarray(1.0, dtype)
+    variance = jnp.asarray(1.0, dtype)
+    noise = jnp.asarray(1e-2, dtype)
+
+    @jax.jit
+    def pipeline(X, m):
+        n2 = jnp.sum(X * X, axis=1, keepdims=True)
+        d2 = jnp.maximum(n2 + n2.T - 2.0 * (X @ X.T), 0.0)
+        K = variance * jnp.exp(-0.5 * inv_width * d2)
+        K = K + noise * jnp.eye(N, dtype=dtype)
+        L = jnp.linalg.cholesky(K)
+        v = jax.scipy.linalg.solve_triangular(L, m, lower=True)
+        quad = jnp.sum(v * v)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return quad + logdet
+
+    pipeline(X, m).block_until_ready()  # compile
+    reps = 5 if on_tpu else 3
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(reps):
+        r = pipeline(X, m)
+    r.block_until_ready()
+    t_pipe = (time.perf_counter() - t0) / reps
+
+    flops = 2.0 * N * N * q + N ** 3 / 3.0 + 2.0 * N * N * D
+    gflops = flops / t_pipe / 1e9
+    target = 0.8 * roofline_gflops
+    result = {
+        "metric": f"gram_chol_evidence_gflops_n{N}_{backend}",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / target, 4),
+    }
+    print(json.dumps(result))
+    print(f"# backend={backend} N={N} t_pipeline={t_pipe*1e3:.1f}ms "
+          f"matmul_roofline={roofline_gflops:.0f} GFLOP/s "
+          f"target(80%)={target:.0f} GFLOP/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
