@@ -44,19 +44,21 @@ def main():
     A1 = jnp.asarray(rng.standard_normal((B, B)), jnp.bfloat16)
     A2 = jnp.asarray(rng.standard_normal((B, B)), jnp.bfloat16)
 
-    @jax.jit
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    # chain reps so no dispatch dedup/overlap can fake the timing
+    reps_mm = 8
 
-    mm(A1, A2).block_until_ready()  # compile
-    reps = 8
+    @jax.jit
+    def mm_chain(a, b):
+        def body(_, acc):
+            prod = jax.lax.dot_general(acc, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            return (prod / (1.0 + jnp.abs(prod[0, 0]))).astype(a.dtype)
+        return jax.lax.fori_loop(0, reps_mm, body, a)
+
+    mm_chain(A1, A2).block_until_ready()  # compile
     t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = mm(A1, A2)
-    out.block_until_ready()
-    t_mm = (time.perf_counter() - t0) / reps
+    mm_chain(A1, A2).block_until_ready()
+    t_mm = (time.perf_counter() - t0) / reps_mm
     roofline_gflops = 2 * B ** 3 / t_mm / 1e9
 
     # --- the pipeline -------------------------------------------------------
@@ -64,8 +66,9 @@ def main():
     variance = jnp.asarray(1.0, dtype)
     noise = jnp.asarray(1e-2, dtype)
 
-    @jax.jit
-    def pipeline(X, m):
+    reps = 5 if on_tpu else 3
+
+    def evidence(X, m):
         n2 = jnp.sum(X * X, axis=1, keepdims=True)
         d2 = jnp.maximum(n2 + n2.T - 2.0 * (X @ X.T), 0.0)
         K = variance * jnp.exp(-0.5 * inv_width * d2)
@@ -76,13 +79,18 @@ def main():
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         return quad + logdet
 
-    pipeline(X, m).block_until_ready()  # compile
-    reps = 5 if on_tpu else 3
+    @jax.jit
+    def pipe_chain(X, m):
+        def body(_, carry):
+            acc, Xc = carry
+            e = evidence(Xc, m)
+            # fold the result back into X so every rep depends on the previous
+            return acc + e, Xc + (e * 0.0)
+        return jax.lax.fori_loop(0, reps, body, (jnp.zeros((), dtype), X))[0]
+
+    pipe_chain(X, m).block_until_ready()  # compile
     t0 = time.perf_counter()
-    r = None
-    for _ in range(reps):
-        r = pipeline(X, m)
-    r.block_until_ready()
+    pipe_chain(X, m).block_until_ready()
     t_pipe = (time.perf_counter() - t0) / reps
 
     flops = 2.0 * N * N * q + N ** 3 / 3.0 + 2.0 * N * N * D

@@ -110,9 +110,11 @@ def ln_cum_gauss_sum(u1, u2, w1, w2):
     direct = jnp.log(w1 * cum_gaussian(u1) + w2 * cum_gaussian(u2) + ROBUSTADD)
     l1 = ln_cum_gaussian(u1)
     l2 = ln_cum_gaussian(u2)
-    # branch u1 > u2: log w1 + lnΦ(u1) + log1p(w2/w1 · exp(lnΦ(u2) − lnΦ(u1)))
-    b1 = jnp.log(w1) + l1 + jnp.log1p(w2 / w1 * jnp.exp(l2 - l1))
-    b2 = jnp.log(w2) + l2 + jnp.log1p(w1 / w2 * jnp.exp(l1 - l2))
+    # branch u1 > u2: log w1 + lnΦ(u1) + log1p(w2/w1 · exp(lnΦ(u2) − lnΦ(u1)));
+    # the exponent is ≤ 0 within the branch that uses it — clamp so the
+    # unselected branch can't overflow and poison gradients through where
+    b1 = jnp.log(w1) + l1 + jnp.log1p(w2 / w1 * jnp.exp(jnp.minimum(l2 - l1, 0.0)))
+    b2 = jnp.log(w2) + l2 + jnp.log1p(w1 / w2 * jnp.exp(jnp.minimum(l1 - l2, 0.0)))
     return jnp.where(both_pos, direct, jnp.where(u1 > u2, b1, b2))
 
 
@@ -123,19 +125,27 @@ def gauss_over_diff_cum_gaussian(x, xp, order):
     int (static), matching the reference's switch.
     """
     x, xp = jnp.asarray(x), jnp.asarray(xp)
-    x2 = x * x
-    xp2 = xp * xp
+    # Evaluate each branch only on arguments that keep it benign: the unselected
+    # branch otherwise cancels catastrophically (den → the 1e-300 floor), whose
+    # NaN gradient would leak through jnp.where's 0·NaN cotangent product.
+    neg_mask = x <= 0
+    xn = jnp.where(neg_mask, x, -1.0)
+    xpn = jnp.where(neg_mask, xp, -2.0)
+    xq = jnp.where(neg_mask, 1.0, x)
+    xpq = jnp.where(neg_mask, 0.0, xp)
     if order == 1:
-        exp_ratio = jnp.exp(0.5 * (x2 - xp2))
-        neg = 2.0 / (SQRTTWOPI * (erfcx(-HALFSQRTTWO * x) - exp_ratio * erfcx(-HALFSQRTTWO * xp) + ROBUSTADD))
-        pos = 2.0 / (SQRTTWOPI * (exp_ratio * erfcx(HALFSQRTTWO * xp) - erfcx(HALFSQRTTWO * x) + ROBUSTADD))
+        er_n = jnp.exp(0.5 * (xn * xn - xpn * xpn))
+        neg = 2.0 / (SQRTTWOPI * (erfcx(-HALFSQRTTWO * xn) - er_n * erfcx(-HALFSQRTTWO * xpn) + ROBUSTADD))
+        er_p = jnp.exp(0.5 * (xq * xq - xpq * xpq))
+        pos = 2.0 / (SQRTTWOPI * (er_p * erfcx(HALFSQRTTWO * xpq) - erfcx(HALFSQRTTWO * xq) + ROBUSTADD))
     elif order == 2:
-        exp_ratio = jnp.exp(0.5 * (xp2 - x2))
-        neg = 2.0 / (SQRTTWOPI * (exp_ratio * erfcx(-HALFSQRTTWO * x) - erfcx(-HALFSQRTTWO * xp) + ROBUSTADD))
-        pos = 2.0 / (SQRTTWOPI * (erfcx(HALFSQRTTWO * xp) - exp_ratio * erfcx(HALFSQRTTWO * x) + ROBUSTADD))
+        er_n = jnp.exp(0.5 * (xpn * xpn - xn * xn))
+        neg = 2.0 / (SQRTTWOPI * (er_n * erfcx(-HALFSQRTTWO * xn) - erfcx(-HALFSQRTTWO * xpn) + ROBUSTADD))
+        er_p = jnp.exp(0.5 * (xpq * xpq - xq * xq))
+        pos = 2.0 / (SQRTTWOPI * (erfcx(HALFSQRTTWO * xpq) - er_p * erfcx(HALFSQRTTWO * xq) + ROBUSTADD))
     else:
         raise ValueError("order must be 1 or 2")
-    return jnp.where(x <= 0, neg, pos)
+    return jnp.where(neg_mask, neg, pos)
 
 
 def ln_diff_cum_gaussian(u, uprime):

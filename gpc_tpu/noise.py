@@ -260,6 +260,8 @@ class NcnmNoise(Noise):
 
     split_gamma: bool = False
     width: float = 1.0
+    sigma2: float = 1e-6  # fixed (CNcnmNoise::initStoreage); the MATLAB golden
+                          # fixtures were generated with 0.0
 
     @property
     def kind(self):
@@ -281,6 +283,10 @@ class NcnmNoise(Noise):
     @property
     def missing(self):
         return True
+
+    @property
+    def sigma2_fixed(self):
+        return self.sigma2
 
     def default_params(self, y=None):
         if y is not None:
