@@ -45,7 +45,7 @@ def main():
     A2 = jnp.asarray(rng.standard_normal((B, B)), jnp.bfloat16)
 
     # chain reps so no dispatch dedup/overlap can fake the timing
-    reps_mm = 8
+    reps_mm = 16 if on_tpu else 4
 
     @jax.jit
     def mm_chain(a, b):
@@ -55,9 +55,14 @@ def main():
             return (prod / (1.0 + jnp.abs(prod[0, 0]))).astype(a.dtype)
         return jax.lax.fori_loop(0, reps_mm, body, a)
 
-    mm_chain(A1, A2).block_until_ready()  # compile
+    def sync(x):
+        """Force completion: on the axon remote backend block_until_ready is a
+        no-op — only a value fetch actually synchronizes."""
+        return float(jnp.ravel(x)[0])
+
+    sync(mm_chain(A1, A2))  # compile + warm
     t0 = time.perf_counter()
-    mm_chain(A1, A2).block_until_ready()
+    sync(mm_chain(A1, A2))
     t_mm = (time.perf_counter() - t0) / reps_mm
     roofline_gflops = 2 * B ** 3 / t_mm / 1e9
 
@@ -88,9 +93,9 @@ def main():
             return acc + e, Xc + (e * 0.0)
         return jax.lax.fori_loop(0, reps, body, (jnp.zeros((), dtype), X))[0]
 
-    pipe_chain(X, m).block_until_ready()  # compile
+    sync(pipe_chain(X, m))  # compile + warm
     t0 = time.perf_counter()
-    pipe_chain(X, m).block_until_ready()
+    sync(pipe_chain(X, m))
     t_pipe = (time.perf_counter() - t0) / reps
 
     flops = 2.0 * N * N * q + N ** 3 / 3.0 + 2.0 * N * N * D
