@@ -1,0 +1,64 @@
+"""Recursive blocked Cholesky and triangular solve — MXU-shaped factorization.
+
+The O(N³) Cholesky dominates every full-GP evidence evaluation (bench.py).
+XLA ships a TPU cholesky, but its internal panel width is fixed; this module
+provides a divide-and-conquer factorization whose work lands almost entirely
+in large static-shape GEMMs:
+
+    chol([[A11, ·], [A21, A22]]):
+        L11 = chol(A11)
+        L21 = A21 · L11⁻ᵀ          (triangular solve, itself recursive)
+        L22 = chol(A22 − L21·L21ᵀ) (syrk on the MXU)
+
+Recursion is unrolled at trace time (static shapes, log₂(N/base) levels), so
+the compiled graph is a fixed schedule of matmuls + base-case factorizations.
+Used opportunistically: `cholesky(A)` picks the recursive path for large
+power-of-two-friendly sizes and defers to jnp.linalg.cholesky otherwise —
+numerics are identical up to reassociation (same algorithm, different blocking).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+BASE = 512
+
+
+def _tri_solve_rt(B, L):
+    """Solve X·Lᵀ = B for X, L lower-triangular (the L21 panel update),
+    recursively so big cases become GEMMs.
+
+    Split L = [[L11, 0], [L21, L22]], B = [B1 | B2]:
+        X1·L11ᵀ = B1;  X2·L22ᵀ = B2 − X1·L21ᵀ.
+    """
+    n = L.shape[0]
+    if n <= BASE:
+        return solve_triangular(L, B.T, lower=True).T
+    h = n // 2
+    L11, L21, L22 = L[:h, :h], L[h:, :h], L[h:, h:]
+    X1 = _tri_solve_rt(B[:, :h], L11)
+    X2 = _tri_solve_rt(B[:, h:] - X1 @ L21.T, L22)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _chol_recursive(A):
+    n = A.shape[0]
+    if n <= BASE:
+        return jnp.linalg.cholesky(A)
+    h = n // 2
+    A11, A21, A22 = A[:h, :h], A[h:, :h], A[h:, h:]
+    L11 = _chol_recursive(A11)
+    L21 = _tri_solve_rt(A21, L11)
+    L22 = _chol_recursive(A22 - L21 @ L21.T)
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def cholesky(A, force: bool = False):
+    """Lower Cholesky; recursive blocked path when the size splits cleanly."""
+    n = A.shape[-1]
+    if A.ndim == 2 and (force or (n > 2 * BASE and n % BASE == 0)):
+        return _chol_recursive(A)
+    return jnp.linalg.cholesky(A)

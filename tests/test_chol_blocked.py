@@ -1,0 +1,39 @@
+"""Recursive blocked Cholesky correctness vs jnp.linalg."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpc_tpu.ops import chol_blocked
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return (A @ A.T + n * np.eye(n)).astype(np.float64)
+
+
+@pytest.mark.parametrize("n", [64, 1024, 1536])
+def test_matches_reference_cholesky(n):
+    A = _spd(n)
+    L = np.asarray(chol_blocked.cholesky(jnp.asarray(A), force=True))
+    want = np.linalg.cholesky(A)
+    np.testing.assert_allclose(L, want, rtol=1e-9, atol=1e-9)
+    # strictly lower structure
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_tri_solve_rt():
+    n = 1024
+    A = _spd(n, 1)
+    L = np.linalg.cholesky(A)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((300, n))
+    X = np.asarray(chol_blocked._tri_solve_rt(jnp.asarray(B), jnp.asarray(L)))
+    np.testing.assert_allclose(X @ L.T, B, rtol=1e-8, atol=1e-8)
+
+
+def test_small_defers_to_xla():
+    A = _spd(100, 3)
+    L = np.asarray(chol_blocked.cholesky(jnp.asarray(A)))
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=1e-10)
