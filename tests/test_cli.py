@@ -1,0 +1,102 @@
+"""In-process CLI tests: the reference's end-to-end command surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpc_tpu.cli import gp as gp_cli
+from gpc_tpu.cli import gplvm as gplvm_cli
+from gpc_tpu.cli import ivm as ivm_cli
+
+SINC = "/root/reference/examples/sinc.svml"
+OIL100 = "/root/reference/examples/oilTrain100.svml"
+
+
+@pytest.fixture()
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_gp_learn_display_gnuplot_relearn(in_tmp, capsys):
+    gp_cli.main(["-s", "42", "-v", "1", "learn", "-#", "30", SINC, "m1"])
+    out = capsys.readouterr().out
+    assert "Gaussian process model" in out
+    gp_cli.main(["display", "m1"])
+    assert "inverseWidth" in capsys.readouterr().out
+    gp_cli.main(["gnuplot", SINC, "m1", "t"])
+    for f in ("t_line_data.dat", "t_error_bar_data.dat", "t_scatter_data.dat", "t_plot.gp"):
+        assert os.path.exists(f), f
+    gp_cli.main(["-v", "1", "relearn", "-#", "5", SINC, "m1"])
+    assert "Final objective" in capsys.readouterr().out
+
+
+def test_gp_sparse_learn(in_tmp, capsys):
+    gp_cli.main(["-s", "1", "-v", "1", "learn", "-A", "dtc", "-a", "8", "-#", "15",
+                 SINC, "m2"])
+    assert "beta" in capsys.readouterr().out
+    gp_cli.main(["gnuplot", SINC, "m2", "s"])
+    assert os.path.exists("s_active_set.dat")
+
+
+def test_gp_error_paths(in_tmp):
+    with pytest.raises(SystemExit):
+        gp_cli.main(["learn", "-A", "dtc", SINC])  # no -a
+    with pytest.raises(SystemExit):
+        gp_cli.main(["learn", "-Z", SINC])
+    with pytest.raises(SystemExit):
+        gp_cli.main(["display", "missing_model"])
+    with pytest.raises(SystemExit):
+        gp_cli.main(["bogus-command"])
+
+
+def test_ivm_learn_and_friends(in_tmp, capsys):
+    # tiny classification set
+    rng = np.random.default_rng(0)
+    X = np.vstack([rng.standard_normal((15, 2)) + 2, rng.standard_normal((15, 2)) - 2])
+    y = np.concatenate([np.ones(15), -np.ones(15)])
+    from gpc_tpu.io.svml import write_svml
+    write_svml("train.svml", X, y)
+    ivm_cli.main(["-s", "3", "-v", "0", "learn", "-a", "10", "-k", "rbf",
+                  "-e", "1", "-#", "20", "-n", "10", "train.svml", "im"])
+    ivm_cli.main(["test", "train.svml", "im"])
+    out = capsys.readouterr().out
+    assert "Classification error" in out
+    ivm_cli.main(["predict", "train.svml", "im", "preds"])
+    assert os.path.exists("preds")
+    ivm_cli.main(["class-one-probabilities", "train.svml", "im", "probs"])
+    probs = np.loadtxt("probs")
+    assert probs.shape[0] == 30 and np.all((probs >= 0) & (probs <= 1))
+    ivm_cli.main(["log-likelihood", "train.svml", "im"])
+    assert "log likelihood" in capsys.readouterr().out
+    ivm_cli.main(["gnuplot", "train.svml", "im", "iv"])
+    assert os.path.exists("iv_prob_matrix.dat") and os.path.exists("iv_plot.gp")
+
+
+def test_ivm_regression_mode(in_tmp, capsys):
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((25, 2))
+    y = np.sin(X[:, 0])
+    write_svml("r.svml", X, y)
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-o", "regression", "-a", "10",
+                  "-k", "rbf", "-e", "1", "-#", "15", "-n", "5", "r.svml", "rm"])
+    ivm_cli.main(["test", "r.svml", "rm"])
+    assert "Mean Squared Error" in capsys.readouterr().out
+
+
+def test_gplvm_learn_display_gnuplot(in_tmp, capsys):
+    gplvm_cli.main(["-s", "2", "-v", "1", "learn", "-#", "15", OIL100, "gm"])
+    assert "GPLVM Model" in capsys.readouterr().out
+    gplvm_cli.main(["display", "gm"])
+    assert "Latent dimension: 2" in capsys.readouterr().out
+    gplvm_cli.main(["gnuplot", "gm", "gl"])
+    assert os.path.exists("gl_variance_matrix.dat") and os.path.exists("gl_plot.gp")
+    # oil labels {1,2,3} produce per-label latent scatters
+    assert os.path.exists("gl_latent_data1.dat")
+
+
+def test_gplvm_bad_init_type(in_tmp):
+    with pytest.raises(SystemExit):
+        gplvm_cli.main(["learn", "-I", "magic", OIL100, "x"])
