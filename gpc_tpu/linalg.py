@@ -44,8 +44,9 @@ def jitchol(A, max_tries: int = 10):
     eye = jnp.eye(n, dtype=A.dtype)
 
     if FAST_JITCHOL:
+        from gpc_tpu.ops.chol_blocked import cholesky as _chol
         jitter = 1e-6 * jnp.abs(jnp.trace(A)) / n
-        return jnp.linalg.cholesky(A + jitter * eye), jitter
+        return _chol(A + jitter * eye), jitter
 
     # Jitter discovery runs on a stop-gradient copy inside a while_loop (which is
     # not reverse-mode differentiable); the returned factor is then recomputed
@@ -71,7 +72,8 @@ def jitchol(A, max_tries: int = 10):
     # jitter actually applied: 0 if the first try worked, else jit_amount/10
     # (the loop pre-multiplies for the next attempt).
     used = jnp.where(tries == 0, zero, jit_amount / 10.0)
-    L = jnp.linalg.cholesky(A + used * eye)
+    from gpc_tpu.ops.chol_blocked import cholesky as _chol
+    L = _chol(A + used * eye)  # recursive blocked path for large N (2x XLA)
     return L, used
 
 

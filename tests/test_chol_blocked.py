@@ -37,3 +37,20 @@ def test_small_defers_to_xla():
     A = _spd(100, 3)
     L = np.asarray(chol_blocked.cholesky(jnp.asarray(A)))
     np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=1e-10)
+
+
+def test_recursive_path_is_differentiable():
+    import jax
+    A = _spd(1024, 5)
+
+    def f(A):
+        L = chol_blocked.cholesky(jnp.asarray(A), force=True)
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))  # logdet
+
+    def f_ref(A):
+        L = jnp.linalg.cholesky(jnp.asarray(A))
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(A)))
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(A)))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-7, atol=1e-9)
