@@ -60,10 +60,22 @@ def _tri_solve_rt(B, L):
     return jnp.concatenate([X1, X2], axis=1)
 
 
+def _base_chol(A):
+    """Base-case factorization: Pallas in-VMEM kernel on TPU (XLA's cholesky
+    has a flat ~1.3 ms floor at these sizes), XLA/LAPACK elsewhere."""
+    import jax
+
+    n = A.shape[0]
+    if jax.default_backend() != "cpu" and n % 128 == 0:
+        from gpc_tpu.ops.chol_pallas import chol_block
+        return chol_block(A)
+    return jnp.linalg.cholesky(A)
+
+
 def _chol_recursive(A):
     n = A.shape[0]
     if n <= BASE:
-        return jnp.linalg.cholesky(A)
+        return _base_chol(A)
     h = n // 2
     A11, A21, A22 = A[:h, :h], A[h:, :h], A[h:, h:]
     L11 = _chol_recursive(A11)
