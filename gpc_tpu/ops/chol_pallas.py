@@ -27,30 +27,46 @@ except Exception:  # pragma: no cover
 
 
 def _chol_body(n):
+    # everything stays 2-D: Mosaic's layout engine rejects 1-D relayouts
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
     def body(j, A):
-        ej = (cols == j).astype(A.dtype)              # one-hot column mask
-        colj = jnp.sum(A * ej, axis=1)                # A[:, j]
-        pivot = jnp.sum(jnp.where(rows[:, 0] == j, colj, 0.0))
+        ej = (cols == j).astype(A.dtype)                       # one-hot column
+        colj = jnp.sum(A * ej, axis=1, keepdims=True)          # (n, 1) = A[:, j]
+        pivot = jnp.sum(jnp.where(rows_c == j, colj, 0.0),
+                        keepdims=True)                         # (1, 1)
         inv_d = jax.lax.rsqrt(pivot)
-        below = rows[:, 0] > j
-        l = jnp.where(below, colj * inv_d, 0.0)       # L[j+1:, j]
-        newcol = jnp.where(rows[:, 0] == j, pivot * inv_d, l)
+        l = jnp.where(rows_c > j, colj * inv_d, 0.0)           # (n, 1)
+        newcol = jnp.where(rows_c == j, pivot * inv_d, l)
         # trailing update A[j+1:, j+1:] -= l·lᵀ
         trail = (rows > j) & (cols > j)
-        A = A - jnp.where(trail, l[:, None] * l[None, :], 0.0)
+        A = A - jnp.where(trail, l * jnp.transpose(l), 0.0)
         # write finished column j (zeros above the diagonal)
-        A = A * (1.0 - ej) + newcol[:, None] * ej
+        A = A * (1.0 - ej) + newcol * ej
         return A
 
     return body
 
 
+UNROLL = 8  # columns per loop step: the TPU scalar-core loop overhead (~µs per
+            # iteration) dominates the tiny per-column vector work otherwise
+
+
 def _chol_kernel(n, a_ref, out_ref):
     A = a_ref[:]
-    A = jax.lax.fori_loop(0, n, _chol_body(n), A)
+    col_step = _chol_body(n)
+
+    def outer(i, A):
+        j0 = i * UNROLL
+        for c in range(UNROLL):  # unrolled at trace time
+            A = col_step(j0 + c, A)
+        return A
+
+    A = jax.lax.fori_loop(0, n // UNROLL, outer, A)
+    for j in range(n - (n % UNROLL), n):  # static remainder (n % UNROLL ≠ 0)
+        A = col_step(j, A)
     # zero the strict upper triangle (untouched input remnants)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
