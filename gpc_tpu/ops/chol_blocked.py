@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-BASE = 512
+BASE = 256  # best measured total at N=16k (39 ms vs 41.7 at 512, 55.5 at 2048)
 
 # Mixed precision: run the O(N³) GEMM updates (syrk + panel-solve matmuls) with
 # bf16 inputs and f32 accumulation — ~2× MXU throughput at a ~1e-3 relative
@@ -61,14 +61,14 @@ def _tri_solve_rt(B, L):
 
 
 def _base_chol(A):
-    """Base-case factorization: Pallas in-VMEM kernel on TPU (XLA's cholesky
-    has a flat ~1.3 ms floor at these sizes), XLA/LAPACK elsewhere."""
-    import jax
+    """Base-case factorization.
 
-    n = A.shape[0]
-    if jax.default_backend() != "cpu" and n % 128 == 0:
-        from gpc_tpu.ops.chol_pallas import chol_block
-        return chol_block(A)
+    Measured (v5e, N=16k, BASE=256): an isolated XLA cholesky costs ~1.3 ms and
+    the Pallas in-VMEM kernel (ops/chol_pallas.py) 0.7 ms — but embedded in the
+    recursion XLA's base overlaps with the surrounding GEMMs and wins end to
+    end (39.0 ms vs 42.5 ms total), so XLA stays the default; the Pallas kernel
+    remains available for standalone use.
+    """
     return jnp.linalg.cholesky(A)
 
 

@@ -1,0 +1,90 @@
+"""Distributed right-looking blocked Cholesky over row-block-sharded K.
+
+The scale-out answer to the reference's O(N³) wall (SURVEY.md §5: "blockwise
+Gram construction + distributed blocked Cholesky" is this framework's analogue
+of ring attention).  K never exists on one chip: device d owns the row block
+K[d·B:(d+1)·B, :], so N is bounded by per-device HBM at O(N·B) instead of
+O(N²).
+
+Panel sweep (W = B columns per panel, nb = n_devices panels):
+  for j in 0..nb-1:
+    1. every device contributes its B×B slice of column-panel j;
+       `all_gather` assembles the full (N, B) panel — the only communication,
+       N·B floats per step over ICI (Σ = N² total, same volume as gathering K
+       once, but peak memory stays O(N·B));
+    2. replicated small work: L_jj = chol(panel[jB:(j+1)B]), then
+       L_panel = panel · L_jj⁻ᵀ with rows < jB zeroed (they're already final);
+    3. each device's trailing update is one local MXU GEMM:
+       S_local[:, k>jB] −= L_local_panel · L_panel[k rows]ᵀ
+    4. each device writes its rows of the finished panel into its block.
+
+The factor comes back row-block-sharded.  Forward-only for now (the NLML fast
+path needs a custom VJP — ROADMAP).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpc_tpu.parallel.mesh import DATA_AXIS
+
+
+def _local_factor_step(j, S_local, n_dev, B, N):
+    """One panel step inside shard_map; S_local is this device's (B, N) rows."""
+    d = lax.axis_index(DATA_AXIS)
+
+    # 1. gather column panel j: my (B, B) slice of columns [jB, (j+1)B)
+    j = jnp.asarray(j, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    my_cols = lax.dynamic_slice(S_local, (zero, j * B), (B, B))
+    panel = lax.all_gather(my_cols, DATA_AXIS, tiled=True)        # (N, B)
+
+    # 2. replicated panel factorization
+    diag = lax.dynamic_slice(panel, (j * B, zero), (B, B))
+    L_jj = jnp.linalg.cholesky(diag)
+    # rows above the diagonal block are already final (zero in this panel)
+    rows = jnp.arange(N)[:, None]
+    panel = jnp.where(rows >= j * B, panel, 0.0)
+    L_panel = solve_triangular(L_jj, panel.T, lower=True).T       # (N, B)
+    L_panel = jnp.where(rows > (j + 1) * B - 1, L_panel, 0.0)     # strictly-below part
+    L_panel = lax.dynamic_update_slice(L_panel, L_jj, (j * B, zero))
+
+    # 3. local trailing update: my rows × all columns (masked to k > j panels)
+    my_Lrows = lax.dynamic_slice(L_panel, (jnp.asarray(d, jnp.int32) * B, zero), (B, B))
+    update = my_Lrows @ L_panel.T                                 # (B, N)
+    cols = jnp.arange(N)[None, :]
+    trailing = cols >= (j + 1) * B
+    S_local = S_local - jnp.where(trailing, update, 0.0)
+
+    # 4. write my rows of the finished panel into my block's columns j
+    S_local = lax.dynamic_update_slice(S_local, my_Lrows, (zero, j * B))
+    return S_local
+
+
+def chol_distributed(mesh: Mesh, K_rows):
+    """Factor a row-block-sharded SPD matrix; returns L row-block-sharded.
+
+    K_rows: (N, N) array sharded P(DATA_AXIS, None) over `mesh`; N must divide
+    evenly by the device count.
+    """
+    n_dev = len(mesh.devices)
+    N = K_rows.shape[0]
+    assert N % n_dev == 0, "N must be divisible by the device count"
+    B = N // n_dev
+
+    def local(S_local):
+        def body(j, S):
+            return _local_factor_step(j, S, n_dev, B, N)
+        S_local = lax.fori_loop(0, n_dev, body, S_local)
+        # zero strict upper triangle of my rows
+        d = lax.axis_index(DATA_AXIS)
+        rows = d * B + jnp.arange(B)[:, None]
+        cols = jnp.arange(N)[None, :]
+        return jnp.where(cols <= rows, S_local, 0.0)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=P(DATA_AXIS, None),
+                         out_specs=P(DATA_AXIS, None), check_vma=False)(K_rows)

@@ -1,0 +1,51 @@
+"""Distributed blocked Cholesky vs single-device factorization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpc_tpu.parallel.mesh import data_mesh, shard_rows
+from gpc_tpu.parallel.chol_distributed import chol_distributed
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_distributed_matches_lapack():
+    mesh = data_mesh()
+    n_dev = len(mesh.devices)
+    N = 64 * n_dev
+    K = _spd(N)
+    K_sharded = shard_rows(mesh, K)
+    L = np.asarray(chol_distributed(mesh, K_sharded))
+    want = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, want, rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_distributed_under_jit():
+    mesh = data_mesh()
+    N = 32 * len(mesh.devices)
+    K = _spd(N, 1)
+    K_sharded = shard_rows(mesh, K)
+    f = jax.jit(lambda K: chol_distributed(mesh, K))
+    L = np.asarray(f(K_sharded))
+    np.testing.assert_allclose(L @ L.T, K, rtol=1e-8, atol=1e-8)
+
+
+def test_evidence_from_distributed_factor():
+    """logdet + quadratic form computed from the sharded factor."""
+    mesh = data_mesh()
+    N = 48 * len(mesh.devices)
+    K = _spd(N, 2)
+    m = np.random.default_rng(3).standard_normal((N, 1))
+    L = np.asarray(chol_distributed(mesh, shard_rows(mesh, K)))
+    logdet = 2.0 * np.sum(np.log(np.diag(L)))
+    v = np.linalg.solve(L, m)
+    quad = float(v.T @ v)
+    sign, want_logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(logdet, want_logdet, rtol=1e-10)
+    np.testing.assert_allclose(quad, float(m.T @ np.linalg.solve(K, m)), rtol=1e-8)
