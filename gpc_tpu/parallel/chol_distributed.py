@@ -62,7 +62,50 @@ def _local_factor_step(j, S_local, n_dev, B, N):
 
     # 4. write my rows of the finished panel into my block's columns j
     S_local = lax.dynamic_update_slice(S_local, my_Lrows, (zero, j * B))
-    return S_local
+    return S_local, L_panel
+
+
+def evidence_distributed(mesh: Mesh, K_rows, m):
+    """Fused distributed evidence: logdet(K) and mᵀK⁻¹m in ONE panel sweep.
+
+    The forward substitution L·v = m rides the factorization: at panel j the
+    replicated (N, B) column panel is already in hand, so v_j = L_jj⁻¹·r_j and
+    the residual update r ← r − L_panel·v_j cost no additional communication
+    (m and r are (N, D) with small D, kept replicated).  Returns
+    (logdet, quad) replicated — exactly the two numbers the FTC NLML needs
+    (CGp.cpp:920-937) — without K, L, or any N×N object ever existing on a
+    single device.
+    """
+    n_dev = len(mesh.devices)
+    N = K_rows.shape[0]
+    assert N % n_dev == 0
+    B = N // n_dev
+    m = jnp.asarray(m)
+
+    def local(S_local, m_rep):
+        def body(j, carry):
+            S, r, logdet = carry
+            S, panel = _local_factor_step(j, S, n_dev, B, N)  # (N, B) of L, replicated
+            j32 = jnp.asarray(j, jnp.int32)
+            zero = jnp.zeros((), jnp.int32)
+            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+            r_j = lax.dynamic_slice(r, (j32 * B, zero), (B, r.shape[1]))
+            v_j = solve_triangular(L_jj, r_j, lower=True)
+            # residual update for all later rows; zero the solved block's rows
+            rows = jnp.arange(N)[:, None]
+            below = rows >= (j + 1) * B
+            r = r - jnp.where(below, panel @ v_j, 0.0)
+            r = lax.dynamic_update_slice(r, v_j, (j32 * B, zero))
+            logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_jj)))
+            return S, r, logdet
+
+        init = (S_local, m_rep, jnp.zeros((), S_local.dtype))
+        _, v, logdet = lax.fori_loop(0, n_dev, body, init)
+        quad = jnp.sum(v * v)
+        return logdet, quad
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS, None), P()),
+                         out_specs=(P(), P()), check_vma=False)(K_rows, m)
 
 
 def chol_distributed(mesh: Mesh, K_rows):
@@ -78,7 +121,8 @@ def chol_distributed(mesh: Mesh, K_rows):
 
     def local(S_local):
         def body(j, S):
-            return _local_factor_step(j, S, n_dev, B, N)
+            S, _panel = _local_factor_step(j, S, n_dev, B, N)
+            return S
         S_local = lax.fori_loop(0, n_dev, body, S_local)
         # zero strict upper triangle of my rows
         d = lax.axis_index(DATA_AXIS)

@@ -49,3 +49,17 @@ def test_evidence_from_distributed_factor():
     sign, want_logdet = np.linalg.slogdet(K)
     np.testing.assert_allclose(logdet, want_logdet, rtol=1e-10)
     np.testing.assert_allclose(quad, float(m.T @ np.linalg.solve(K, m)), rtol=1e-8)
+
+
+def test_fused_evidence_sweep():
+    from gpc_tpu.parallel.chol_distributed import evidence_distributed
+    mesh = data_mesh()
+    N = 40 * len(mesh.devices)
+    K = _spd(N, 5)
+    m = np.random.default_rng(6).standard_normal((N, 3))
+    logdet, quad = jax.jit(lambda K, m: evidence_distributed(mesh, K, m))(
+        shard_rows(mesh, K), jnp.asarray(m))
+    sign, want_logdet = np.linalg.slogdet(K)
+    want_quad = float(np.trace(m.T @ np.linalg.solve(K, m)))
+    np.testing.assert_allclose(float(logdet), want_logdet, rtol=1e-10)
+    np.testing.assert_allclose(float(quad), want_quad, rtol=1e-8)
