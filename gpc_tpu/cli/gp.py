@@ -234,6 +234,8 @@ def main(argv=None):
         COMMANDS[cmd](cl)
     except FileNotFoundError as e:
         raise ExitError(f"Unable to read file {e.filename}.")
+    except ValueError as e:
+        raise ExitError(str(e))
 
 
 if __name__ == "__main__":
