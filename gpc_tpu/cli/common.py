@@ -218,6 +218,16 @@ class KernelSpecParser:
                 for j, v in enumerate((self.weight_vars[i], self.bias_vars[i], self.variances[i])):
                     if v != -1.0:
                         p[j] = v
+            elif t in ("matern32", "matern52"):
+                # extension beyond the reference CLI grammar (the model layer
+                # and BASELINE.json configs use these; gp.cpp never exposed them)
+                if sel:
+                    raise ExitError(f"{t} covariance function not available with input selection yet.")
+                k = (KM.Matern32(input_dim=input_dim) if t == "matern32"
+                     else KM.Matern52(input_dim=input_dim))
+                p = k.default_params()
+                if self.variances[i] != -1.0:
+                    p[1] = self.variances[i]
             elif t == "bias" and usage != "fwd":
                 k = KM.Bias(input_dim=input_dim)
                 p = k.default_params()

@@ -102,6 +102,11 @@ class Kern:
         """Priors with indices into this kernel's own parameter vector."""
         return self.priors
 
+    def display_names(self):
+        """Kind-prefixed parameter names as the reference CLI prints them
+        (e.g. rbfinverseWidth, whitevariance — reference README.md:86-107)."""
+        return [self.kind + n for n in self.param_names()]
+
 
 def _set_diag(K, d):
     n = K.shape[0]
@@ -766,6 +771,12 @@ class _Component(Kern):
             for pr in getattr(c, "priors_global", c.priors):
                 out.append(dataclasses.replace(pr, index=pr.index + off[i]))
         return tuple(out)
+
+    def display_names(self):
+        out = []
+        for c in self.components:
+            out.extend(c.display_names())
+        return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -321,7 +321,7 @@ class GP:
                  f"  Number of data: {self.spec.n_data}",
                  f"  Approximation type: {self.spec.approx}"]
         kp = self.kern_params()
-        for name, val in zip(self.spec.kern.param_names(), kp):
+        for name, val in zip(self.spec.kern.display_names(), kp):
             lines.append(f"  {name}: {val}")
         if self.spec.sparse:
             lines.append(f"  beta: {self.beta()}")

@@ -306,9 +306,9 @@ class GPLVM:
                  f"  Number of data: {self.spec.n_data}",
                  f"  Back constrained: {self.spec.back_constrained}",
                  f"  Dynamics: {self.spec.has_dynamics}"]
-        for name, val in zip(self.spec.kern.param_names(), self.kern_params()):
+        for name, val in zip(self.spec.kern.display_names(), self.kern_params()):
             lines.append(f"  {name}: {val}")
         if self.spec.has_dynamics:
-            for name, val in zip(self.spec.dyn_kern.param_names(), self.dyn_kern_params()):
+            for name, val in zip(self.spec.dyn_kern.display_names(), self.dyn_kern_params()):
                 lines.append(f"  dyn {name}: {val}")
         return "\n".join(lines)

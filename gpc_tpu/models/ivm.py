@@ -299,7 +299,7 @@ class IVM:
                  f"  Active set size: {self.spec.num_active}",
                  f"  Data size: {self.spec.n_data}",
                  f"  Selection criterion: {self.spec.selection}"]
-        for name, val in zip(self.spec.kern.param_names(), np.asarray(self.kern_params)):
+        for name, val in zip(self.spec.kern.display_names(), np.asarray(self.kern_params)):
             lines.append(f"  {name}: {val}")
         for i, val in enumerate(np.asarray(self.noise_params)):
             lines.append(f"  noise param {i}: {val}")
