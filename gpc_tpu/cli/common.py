@@ -134,6 +134,12 @@ class KernelSpecParser:
         elif arg in ("-g", "--gamma"):
             self._check_last("Inverse width", ("rbf", "exp", "ratquad"))
             self.inv_widths[-1] = 2 * cl.get_double()  # stores 2γ (gp.cpp:168)
+        elif arg in ("-@", "--alpha"):
+            # the reference's -@ handler mistakenly writes rbfInvWidths
+            # (ivm.cpp:312-319) so alpha was never actually settable; we route
+            # it to the ratquad alpha parameter as documented
+            self._check_last("Alpha", ("ratquad",))
+            self.ratquad_alphas[-1] = cl.get_double()
         elif arg in ("-d", "--degree"):
             self._check_last("Polynomial degree", ("poly",))
             self.degrees[-1] = cl.get_double()

@@ -107,17 +107,22 @@ def relearn(cl: CommandLine):
     cl.advance()
     cl.mode = "relearn"
     iters = 1000
+    optimiser = "scg"
     while cl.is_flag():
         arg = cl.current()
         if arg in ("-#", "--#iterations"):
             iters = cl.get_int(); cl.advance()
+        elif arg in ("-O", "--optimiser"):
+            optimiser = cl.get_string(); cl.advance()
+            if optimiser not in ("scg", "conjgrad", "graddesc", "quasinew"):
+                raise ExitError(f"Unrecognised optimiser type: {optimiser}")
         else:
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "gp_model"
     X, y = load_data(data_file)
     model = model_io.read_gp(model_file, X=X, y=y)
-    res = model.optimise(iters=iters)
+    res = model.optimise(iters=iters, optimiser=optimiser)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

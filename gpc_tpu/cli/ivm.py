@@ -104,7 +104,7 @@ def learn(cl: CommandLine):
         with open(labelled_file) as f:
             labelled_idx = [int(ln) - 1 for ln in f if ln.strip()]
         for i in labelled_idx:
-            if i < 0 or i > y.shape[0]:
+            if i < 0 or i >= y.shape[0]:
                 raise ExitError(f"Bad index in {labelled_file}")
 
     noise, missing = _select_noise(cl, y, out_type, labelled_idx)
@@ -138,6 +138,8 @@ def learn(cl: CommandLine):
 def relearn(cl: CommandLine):
     cl.advance()
     kern_iters, noise_iters, ext_iters = 100, 20, 4
+    active = None
+    labelled_file = None
     while cl.is_flag():
         arg = cl.current()
         if arg in ("-#", "--#kernel-iterations"):
@@ -146,12 +148,31 @@ def relearn(cl: CommandLine):
             noise_iters = cl.get_int(); cl.advance()
         elif arg in ("-e", "--external-iterations"):
             ext_iters = cl.get_int(); cl.advance()
+        elif arg in ("-a", "--active-set-size"):
+            active = cl.get_int(); cl.advance()
+        elif arg in ("-l", "--labelled-indices-file"):
+            labelled_file = cl.get_string(); cl.advance()
+        elif arg in ("-O", "--optimiser"):
+            opt = cl.get_string(); cl.advance()
+            if opt not in ("scg", "conjgrad", "graddesc", "quasinew"):
+                raise ExitError("Unrecognised model optimiser type.")
         else:
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "ivm_model"
     X, y = load_data(data_file)
+    if labelled_file:
+        with open(labelled_file) as f:
+            labelled_idx = [int(ln) - 1 for ln in f if ln.strip()]
+        for i in labelled_idx:
+            if i < 0 or i >= y.shape[0]:
+                raise ExitError(f"Bad index in {labelled_file}")
+        X, y = X[labelled_idx], y[labelled_idx]
     model = model_io.read_ivm(model_file, X=X, y=y)
+    if active is not None and active != model.spec.num_active:
+        model = IVM(model.spec.kern, model.spec.noise, X, y, num_active=active,
+                    seed=cl.seed, kern_params=model.kern_params,
+                    noise_params=model.noise_params)
     model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters)
     if cl.verbosity > 0:
         print(model.display())

@@ -439,9 +439,11 @@ def read_gplvm(path):
 
     bias = nparams[:data_dim]
     scales = nparams[data_dim:]
+    # init='rand' skips the O(N·D²) PCA eigendecomposition — theta (with the
+    # stored latents) is assigned wholesale right below
     model = GPLVM(kern, Y, latent_dim=latent_dim, dyn_kern=dyn_kern,
                   dyn_kern_params=dyn_params, centre=False,
-                  latent_regularised=latent_reg)
+                  latent_regularised=latent_reg, init="rand")
     model.noise_bias = bias
     model.fixed_scales = scales
     import jax.numpy as jnp
@@ -492,17 +494,24 @@ def read_gp(path, X=None, y=None):
     if y is None:
         y = np.zeros((n_data, output_dim))
     model = GP(kern, X, y, approx=approx, num_active=num_active,
-               learn_scales=learn_scale, centre=False)
+               learn_scales=learn_scale, centre=False,
+               inducing_fixed=inducing_fixed)
     model.bias = bias
     model.fixed_scales = scales
     model.noise_type = noise_type
     model.noise_params = noise_params
     model.noise_extra = noise_extra
-    model.theta = __import__("jax.numpy", fromlist=["asarray"]).asarray(
-        model.spec.pack(kern_params, X_u=X_u,
+    if inducing_fixed:
+        model.X_u_fixed = X_u
+    import jax.numpy as jnp
+    model.theta = jnp.asarray(
+        model.spec.pack(kern_params,
+                        X_u=None if inducing_fixed else X_u,
                         scales=scales if learn_scale else None,
                         beta=beta))
-    # rebuild objective with restored bias/scales
+    # rebuild objective with restored bias/scales (and fixed inducing inputs)
     from gpc_tpu.models.gp import make_objective
-    model._objective = make_objective(model.spec, X, y, model.bias, model.fixed_scales)
+    model._objective = make_objective(model.spec, X, y, model.bias,
+                                      model.fixed_scales,
+                                      X_u_fixed=model.X_u_fixed)
     return model

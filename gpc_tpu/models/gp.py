@@ -109,9 +109,15 @@ def _scaled_targets(y, bias, scales):
     return (y - bias[None, :]) / scales[None, :]
 
 
-def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales):
-    """logLikelihood(θ) (CGp.cpp:913-1014) — scalar, differentiable."""
+def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
+                   X_u_fixed=None):
+    """logLikelihood(θ) (CGp.cpp:913-1014) — scalar, differentiable.
+
+    X_u_fixed supplies the inducing inputs when spec.inducing_fixed (they are
+    then data, not parameters — CGp honors fixInducing the same way)."""
     X_u, kp, scales, beta = spec.unpack(theta)
+    if X_u is None and spec.sparse:
+        X_u = jnp.asarray(X_u_fixed)
     scales = scales if spec.learn_scales else jnp.asarray(fixed_scales)
     m = _scaled_targets(jnp.asarray(y), jnp.asarray(bias), scales)
     N, D = spec.n_data, spec.output_dim
@@ -124,8 +130,6 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales):
         Lacc = quad + D * logdetK
     else:
         M = spec.num_active
-        if spec.inducing_fixed:
-            raise NotImplementedError("inducing_fixed requires X_u in spec data")
         K_uu = spec.kern.gram(kp, X_u)
         K_uf = spec.kern.compute(kp, X_u, X)
         L_uu, _ = linalg.jitchol(K_uu)
@@ -154,9 +158,6 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales):
             diagD = 1.0 + beta * (diagK - diagQ)
             Dinv = 1.0 / diagD
             scaledM = m * jnp.sqrt(Dinv)[:, None]
-            A = K_uu / beta + (K_uf * Dinv[None, :]) @ K_uf.T
-            L_A, _ = linalg.jitchol(A)
-            logdetA = linalg.chol_logdet(L_A)
             V = linalg.tri_solve(L_uu, K_uf) * jnp.sqrt(Dinv)[None, :]
             Am = jnp.eye(M, dtype=V.dtype) / beta + V @ V.T
             L_m, _ = linalg.jitchol(Am)
@@ -167,7 +168,6 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales):
             Lacc = Lacc + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_m)))
             Lacc = Lacc * D
             Lacc = Lacc + beta * (jnp.sum(scaledM * scaledM) - jnp.sum(bet * bet))
-            _ = logdetA  # logdetA enters gradients only via prediction path
 
     if spec.learn_scales:
         Lacc = Lacc + 2.0 * jnp.sum(jnp.log(jnp.abs(scales)))
@@ -177,7 +177,7 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales):
     return L
 
 
-def make_objective(spec: GpSpec, X, y, bias, fixed_scales):
+def make_objective(spec: GpSpec, X, y, bias, fixed_scales, X_u_fixed=None):
     """Returns nlml(θ) = −logLikelihood(θ) for the minimizers."""
     X = jnp.asarray(X)
     y = jnp.asarray(y)
@@ -185,12 +185,14 @@ def make_objective(spec: GpSpec, X, y, bias, fixed_scales):
     fixed_scales = jnp.asarray(fixed_scales)
 
     def nlml(theta):
-        return -log_likelihood(spec, theta, X, y, bias, fixed_scales)
+        return -log_likelihood(spec, theta, X, y, bias, fixed_scales,
+                               X_u_fixed=X_u_fixed)
 
     return nlml
 
 
-def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest):
+def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
+              X_u_fixed=None):
     """Predictive mean/variance (posteriorMeanVar, CGp.cpp:548-663).
 
     Returns (mu, varsigma): mu is (T, D) with output scale/bias re-applied;
@@ -198,6 +200,8 @@ def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest):
     scale², CGp.cpp:575-625).
     """
     X_u, kp, scales, beta = spec.unpack(theta)
+    if X_u is None and spec.sparse:
+        X_u = jnp.asarray(X_u_fixed)
     scales = scales if spec.learn_scales else jnp.asarray(fixed_scales)
     m = _scaled_targets(jnp.asarray(y), jnp.asarray(bias), scales)
     Xtest = jnp.asarray(Xtest)
@@ -256,7 +260,7 @@ class GP:
     def __init__(self, kern: Kern, X, y, approx: str = FTC, num_active: int = 0,
                  learn_scales: bool = False, centre: bool = True,
                  scale_data: bool = False, beta: float = 1.0,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, inducing_fixed: bool = False):
         X = np.asarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         self.X, self.y = X, y
@@ -264,7 +268,8 @@ class GP:
         D = y.shape[1]
         self.spec = GpSpec(kern=kern, n_data=N, input_dim=q, output_dim=D,
                            approx=approx, num_active=num_active,
-                           learn_scales=learn_scales)
+                           learn_scales=learn_scales,
+                           inducing_fixed=inducing_fixed)
         self.bias = y.mean(axis=0) if centre else np.zeros(D)
         self.fixed_scales = y.std(axis=0, ddof=1) if scale_data else np.ones(D)
 
@@ -273,11 +278,15 @@ class GP:
             rng = np.random.RandomState(seed if seed is not None else 0)
             idx = np.sort(rng.permutation(N)[:num_active])
             X_u = X[idx]
+        self.X_u_fixed = X_u if inducing_fixed else None
         self.theta = jnp.asarray(self.spec.pack(
-            kern.default_params(), X_u=X_u,
+            kern.default_params(),
+            X_u=None if inducing_fixed else X_u,
             scales=self.fixed_scales if learn_scales else None,
             beta=beta if self.spec.sparse else None))
-        self._objective = make_objective(self.spec, X, y, self.bias, self.fixed_scales)
+        self._objective = make_objective(self.spec, X, y, self.bias,
+                                         self.fixed_scales,
+                                         X_u_fixed=self.X_u_fixed)
 
     # -- CGp API parity ------------------------------------------------------
     def log_likelihood(self) -> float:
@@ -296,7 +305,7 @@ class GP:
 
     def predict(self, Xtest):
         return posterior(self.spec, self.theta, self.X, self.y, self.bias,
-                         self.fixed_scales, Xtest)
+                         self.fixed_scales, Xtest, X_u_fixed=self.X_u_fixed)
 
     def kern_params(self):
         _, kp, _, _ = self.spec.unpack(self.theta)
@@ -312,6 +321,8 @@ class GP:
 
     def inducing(self):
         xu, _, _, _ = self.spec.unpack(self.theta)
+        if xu is None and self.spec.sparse:
+            return np.asarray(self.X_u_fixed)
         return np.asarray(xu) if xu is not None else None
 
     def display(self):

@@ -100,3 +100,34 @@ def test_gplvm_learn_display_gnuplot(in_tmp, capsys):
 def test_gplvm_bad_init_type(in_tmp):
     with pytest.raises(SystemExit):
         gplvm_cli.main(["learn", "-I", "magic", OIL100, "x"])
+
+
+def test_ivm_ratquad_alpha_flag(in_tmp):
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(2)
+    X = np.vstack([rng.standard_normal((10, 2)) + 2, rng.standard_normal((10, 2)) - 2])
+    y = np.concatenate([np.ones(10), -np.ones(10)])
+    write_svml("t.svml", X, y)
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-a", "8", "-k", "ratquad",
+                  "-@", "2.5", "-e", "1", "-#", "5", "-n", "2", "t.svml", "rq"])
+    assert os.path.exists("rq")
+
+
+def test_gp_relearn_optimiser_flag(in_tmp):
+    gp_cli.main(["-s", "1", "-v", "0", "learn", "-#", "10", SINC, "ro"])
+    gp_cli.main(["-v", "0", "relearn", "-O", "quasinew", "-#", "5", SINC, "ro"])
+
+
+def test_ivm_relearn_active_size_flag(in_tmp):
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(3)
+    X = np.vstack([rng.standard_normal((12, 2)) + 2, rng.standard_normal((12, 2)) - 2])
+    y = np.concatenate([np.ones(12), -np.ones(12)])
+    write_svml("t2.svml", X, y)
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-a", "8", "-k", "rbf",
+                  "-e", "1", "-#", "5", "-n", "2", "t2.svml", "ra"])
+    ivm_cli.main(["-s", "1", "-v", "0", "relearn", "-a", "12", "-e", "1",
+                  "-#", "5", "-n", "2", "t2.svml", "ra"])
+    from gpc_tpu.io import model_io as mio
+    m = mio.read_ivm("ra")
+    assert m.spec.num_active == 12

@@ -111,3 +111,29 @@ def test_reference_comment_lines_skipped():
     X, y = read_svml_py("/root/reference/examples/unitsquaregp.svml")
     assert X.shape == (500, 2)
     assert set(np.unique(y)) == {-1.0, 1.0}
+
+
+def test_gp_fixed_inducing_roundtrip(tmp_path):
+    """fixInducing must survive save/load: inducing inputs stay data, not
+    parameters (review finding: previously silently became trainable)."""
+    from gpc_tpu.models.gp import GP
+    import jax
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((20, 2))
+    y = np.sin(X[:, :1])
+    kern = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2), K.White(input_dim=2)))
+    model = GP(kern, X, y, approx="dtc", num_active=6, centre=True, beta=2.0,
+               seed=1, inducing_fixed=True)
+    # theta holds no X_u block
+    assert model.theta.shape[0] == kern.n_params + 1
+    ll = model.log_likelihood()
+    assert np.isfinite(ll)
+    g = jax.grad(model._objective)(model.theta)
+    assert np.all(np.isfinite(np.asarray(g)))
+    path = os.path.join(tmp_path, "fx")
+    model_io.write_gp(path, model)
+    m2 = model_io.read_gp(path, X=X, y=y)
+    assert m2.spec.inducing_fixed
+    np.testing.assert_allclose(m2.inducing(), model.inducing(), rtol=1e-14)
+    np.testing.assert_allclose(m2.log_likelihood(), ll, rtol=1e-10)
