@@ -1,0 +1,136 @@
+"""Matrix-free iterative GP evidence: blockwise MVMs, batched CG, SLQ logdet.
+
+Capability beyond the reference (which tops out where O(N²) memory ends):
+the Gram matrix is never materialized — K·v is computed in row blocks straight
+from the kernel tile function (each block one MXU GEMM chain), the quadratic
+form mᵀK⁻¹m comes from batched conjugate gradients, and log|K| from stochastic
+Lanczos quadrature over Rademacher probes.  This is the BBMM/GPyTorch recipe
+(PAPERS.md: Gardner et al. 2018, "Blackbox Matrix-Matrix Gaussian Process
+Inference") re-expressed with jit/scan-friendly fixed-iteration loops.
+
+Estimator accuracy: quad is exact to CG tolerance; logdet is unbiased with
+O(1/√probes) noise — suitable for training-scale evidence evaluation, not for
+MATCHTOL parity (use the dense/distributed paths there).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gpc_tpu.kernels import Kern
+
+
+def kernel_mvm(kern: Kern, p, X, V, block: int = 2048):
+    """K·V without materializing K: row-block tiles × V.
+
+    The only diagonal correction beyond the cross tiles is the white variance
+    (diagComputeElement ≡ computeElement(x,x) for every non-white kernel), so
+    K·V = Σ_blocks compute(X_b, X)·V + white·V.
+    """
+    N = X.shape[0]
+    nb = -(-N // block)
+    pad = nb * block - N
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    blocks = Xp.reshape(nb, block, X.shape[1])
+
+    def one(Xb):
+        return kern.compute(p, Xb, X) @ V
+
+    out = lax.map(one, blocks).reshape(nb * block, V.shape[1])[:N]
+    return out + kern.white(p) * V
+
+
+class CgResult(NamedTuple):
+    x: jax.Array
+    residual: jax.Array
+    iters: jax.Array
+
+
+def cg_solve(mvm, B, max_iters: int = 256, tol: float = 1e-10):
+    """Batched conjugate gradients for SPD systems K·X = B (B: (N, D))."""
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    P0 = B
+    rs0 = jnp.sum(R0 * R0, axis=0)
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0)) + 1e-300
+
+    def cond(state):
+        _x, _r, _p, rs, it = state
+        return jnp.logical_and(it < max_iters,
+                               jnp.max(jnp.sqrt(rs) / bnorm) > tol)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Kp = mvm(p)
+        alpha = rs / (jnp.sum(p * Kp, axis=0) + 1e-300)
+        x = x + p * alpha[None, :]
+        r = r - Kp * alpha[None, :]
+        rs_new = jnp.sum(r * r, axis=0)
+        beta = rs_new / (rs + 1e-300)
+        p = r + p * beta[None, :]
+        return x, r, p, rs_new, it + 1
+
+    x, r, _p, rs, it = lax.while_loop(cond, body, (X0, R0, P0, rs0, jnp.array(0)))
+    return CgResult(x=x, residual=jnp.sqrt(rs), iters=it)
+
+
+def _lanczos(mvm, z, k: int):
+    """k-step Lanczos with full reorthogonalization; returns (alphas, betas)."""
+    N = z.shape[0]
+    q0 = z / jnp.linalg.norm(z)
+
+    def body(carry, _):
+        Q, q, q_prev, beta_prev, i = carry
+        w = mvm(q[:, None])[:, 0] - beta_prev * q_prev
+        alpha = jnp.dot(w, q)
+        w = w - alpha * q
+        # full reorthogonalization against stored basis
+        w = w - Q @ (Q.T @ w)
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.where(beta > 0, beta, 1.0)
+        Q = Q.at[:, i].set(q)
+        return (Q, q_next, q, beta, i + 1), (alpha, beta)
+
+    Q0 = jnp.zeros((N, k), z.dtype)
+    (_, _, _, _, _), (alphas, betas) = lax.scan(
+        body, (Q0, q0, jnp.zeros_like(q0), jnp.zeros((), z.dtype), 0),
+        None, length=k)
+    return alphas, betas
+
+
+def slq_logdet(mvm, N: int, key, probes: int = 16, lanczos_iters: int = 32,
+               dtype=jnp.float64):
+    """Stochastic Lanczos quadrature estimate of log|K|."""
+    def one(key):
+        z = jax.random.rademacher(key, (N,), dtype=dtype)
+        alphas, betas = _lanczos(mvm, z, lanczos_iters)
+        T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-300)
+        tau2 = evecs[0, :] ** 2
+        return jnp.sum(tau2 * jnp.log(evals)) * N
+
+    keys = jax.random.split(key, probes)
+    return jnp.mean(jax.vmap(one)(keys))
+
+
+@functools.partial(jax.jit, static_argnames=("kern", "block", "probes",
+                                             "lanczos_iters", "cg_iters"))
+def iterative_evidence(kern: Kern, p, X, m, key, block: int = 2048,
+                       probes: int = 16, lanczos_iters: int = 32,
+                       cg_iters: int = 256):
+    """Matrix-free (quad, logdet) — the two FTC evidence ingredients.
+
+    quad = Σ_j m_jᵀK⁻¹m_j via CG; logdet via SLQ.  O(N·block) memory.
+    """
+    mvm = lambda V: kernel_mvm(kern, p, X, V, block=block)
+    sol = cg_solve(mvm, m, max_iters=cg_iters)
+    quad = jnp.sum(m * sol.x)
+    logdet = slq_logdet(mvm, X.shape[0], key, probes=probes,
+                        lanczos_iters=lanczos_iters, dtype=X.dtype)
+    return quad, logdet

@@ -1,0 +1,60 @@
+"""Matrix-free iterative evidence vs exact dense computation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpc_tpu import kernels as K
+from gpc_tpu.ops.iterative import kernel_mvm, cg_solve, slq_logdet, iterative_evidence
+
+rng = np.random.default_rng(17)
+
+
+def _kern(q):
+    return K.Cmpnd(input_dim=q, components=(
+        K.Rbf(input_dim=q), K.Bias(input_dim=q), K.White(input_dim=q)))
+
+
+def _setup(N=300, q=3):
+    X = jnp.asarray(rng.standard_normal((N, q)))
+    kern = _kern(q)
+    p = jnp.asarray(kern.default_params() * np.array([0.5, 1.0, 0.3, 2.0]))
+    Kmat = np.asarray(kern.gram(p, X))
+    return kern, p, X, Kmat
+
+
+def test_kernel_mvm_matches_dense():
+    kern, p, X, Kmat = _setup()
+    V = jnp.asarray(rng.standard_normal((300, 4)))
+    got = np.asarray(kernel_mvm(kern, p, X, V, block=128))
+    np.testing.assert_allclose(got, Kmat @ np.asarray(V), rtol=1e-10, atol=1e-10)
+
+
+def test_cg_solves_system():
+    kern, p, X, Kmat = _setup()
+    B = jnp.asarray(rng.standard_normal((300, 2)))
+    mvm = lambda V: kernel_mvm(kern, p, X, V, block=128)
+    sol = cg_solve(mvm, B, max_iters=500, tol=1e-12)
+    want = np.linalg.solve(Kmat, np.asarray(B))
+    np.testing.assert_allclose(np.asarray(sol.x), want, rtol=1e-6, atol=1e-8)
+
+
+def test_slq_logdet_close_to_exact():
+    kern, p, X, Kmat = _setup()
+    mvm = lambda V: kernel_mvm(kern, p, X, V, block=128)
+    est = float(slq_logdet(mvm, 300, jax.random.PRNGKey(0), probes=24,
+                           lanczos_iters=40))
+    sign, want = np.linalg.slogdet(Kmat)
+    # stochastic estimator: a few percent of |logdet|
+    assert abs(est - want) / abs(want) < 0.05, (est, want)
+
+
+def test_iterative_evidence_end_to_end():
+    kern, p, X, Kmat = _setup()
+    m = jnp.asarray(rng.standard_normal((300, 2)))
+    quad, logdet = iterative_evidence(kern, p, X, m, jax.random.PRNGKey(1),
+                                      block=128, probes=24, lanczos_iters=40)
+    want_quad = np.trace(np.asarray(m).T @ np.linalg.solve(Kmat, np.asarray(m)))
+    sign, want_ld = np.linalg.slogdet(Kmat)
+    np.testing.assert_allclose(float(quad), want_quad, rtol=1e-6)
+    assert abs(float(logdet) - want_ld) / abs(want_ld) < 0.05
