@@ -167,6 +167,11 @@ def erfcinv(x):
     return -jsp.ndtri(jnp.asarray(x) * 0.5) / math.sqrt(2.0)
 
 
+def gamma(x):
+    """Γ(x) for positive arguments (LGAMA wrapper parity, ndlutil.cpp:142-150)."""
+    return jnp.exp(jsp.gammaln(x))
+
+
 def gammaln(x):
     return jsp.gammaln(x)
 

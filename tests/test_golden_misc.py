@@ -101,3 +101,21 @@ def test_matrix_gemm_golden():
     # GEMM2: G ← α·Dᵀ·Eᵀ + β·G (the "t","t" case, testMatrix.cpp:295-305)
     got2 = alpha * D.T @ E.T + beta * G
     np.testing.assert_allclose(got2, d["GEMM2"], rtol=1e-10)
+
+
+def test_matrix_syrk_golden():
+    d = _load("testSyrk")
+    A, C, D, a, b = d["A"], d["C"], d["D"], float(d["alpha"][0, 0]), float(d["beta"][0, 0])
+    # SYRK1: C ← α·A·Aᵀ + β·C (upper filled symmetric); SYRK2: D ← α·Aᵀ·A + β·D
+    np.testing.assert_allclose(a * A @ A.T + b * np.triu(C) + b * np.triu(C, 1).T,
+                               d["SYRK1"], rtol=1e-10)
+    np.testing.assert_allclose(a * A.T @ A + b * np.triu(D) + b * np.triu(D, 1).T,
+                               d["SYRK2"], rtol=1e-10)
+
+
+def test_matrix_sysv_golden():
+    d = _load("testSysv")
+    A, B = d["A"], d["B"]
+    Asym = np.triu(A) + np.triu(A, 1).T
+    got = np.linalg.solve(Asym, B)
+    np.testing.assert_allclose(got, d["SYSV1"], rtol=1e-7, atol=1e-9)
