@@ -134,3 +134,79 @@ def iterative_evidence(kern: Kern, p, X, m, key, block: int = 2048,
     logdet = slq_logdet(mvm, X.shape[0], key, probes=probes,
                         lanczos_iters=lanczos_iters, dtype=X.dtype)
     return quad, logdet
+
+
+def pivoted_cholesky(kern: Kern, p, X, rank: int):
+    """Greedy rank-k pivoted Cholesky of the (white-free) kernel matrix.
+
+    The standard preconditioner for kernel-matrix CG (PAPERS.md: Cutajar et al.
+    2016, "Preconditioning Kernel Matrices"): k steps, each picking the largest
+    remaining diagonal, evaluating ONE kernel column, and downdating — O(N·k²)
+    work and O(N·k) memory, no N×N object.  Returns (Lk (N, k), pivots).
+    """
+    N = X.shape[0]
+    diag0 = kern.diag(p, X) - kern.white(p)  # white handled by the solve shift
+
+    def body(i, carry):
+        Lk, d = carry
+        piv = jnp.argmax(d)
+        col = kern.compute(p, X, lax.dynamic_slice(X, (piv, 0), (1, X.shape[1])))[:, 0]
+        li = Lk[piv, :]                       # previously accumulated row at pivot
+        col = col - Lk @ li
+        pivot_val = jnp.maximum(d[piv], 1e-12)
+        newcol = col / jnp.sqrt(pivot_val)
+        newcol = newcol.at[piv].set(jnp.sqrt(pivot_val))
+        Lk = Lk.at[:, i].set(newcol)
+        d = jnp.maximum(d - newcol * newcol, 0.0)
+        d = d.at[piv].set(0.0)
+        return Lk, d
+
+    Lk0 = jnp.zeros((N, rank), X.dtype)
+    Lk, _ = lax.fori_loop(0, rank, body, (Lk0, diag0))
+    return Lk
+
+
+def woodbury_preconditioner(Lk, sigma2):
+    """Solve (Lk·Lkᵀ + σ²I)⁻¹·r via Woodbury, as a closure for PCG."""
+    k = Lk.shape[1]
+    inner = sigma2 * jnp.eye(k, dtype=Lk.dtype) + Lk.T @ Lk
+    Linner = jnp.linalg.cholesky(inner)
+
+    def solve(R):
+        t = Lk.T @ R
+        t = jax.scipy.linalg.cho_solve((Linner, True), t)
+        return (R - Lk @ t) / sigma2
+
+    return solve
+
+
+def pcg_solve(mvm, B, precond, max_iters: int = 256, tol: float = 1e-10):
+    """Preconditioned CG for SPD K·X = B with M⁻¹ ≈ K⁻¹ given by `precond`."""
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = precond(R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0)) + 1e-300
+
+    def cond(state):
+        _x, r, _z, _p, rz, it = state
+        return jnp.logical_and(
+            it < max_iters,
+            jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)) / bnorm) > tol)
+
+    def body(state):
+        x, r, z, pdir, rz, it = state
+        Kp = mvm(pdir)
+        alpha = rz / (jnp.sum(pdir * Kp, axis=0) + 1e-300)
+        x = x + pdir * alpha[None, :]
+        r = r - Kp * alpha[None, :]
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / (rz + 1e-300)
+        pdir = z + pdir * beta[None, :]
+        return x, r, z, pdir, rz_new, it + 1
+
+    x, r, _z, _p, _rz, it = lax.while_loop(
+        cond, body, (X0, R0, Z0, P0, rz0, jnp.array(0)))
+    return CgResult(x=x, residual=jnp.sqrt(jnp.sum(r * r, axis=0)), iters=it)

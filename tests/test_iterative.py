@@ -58,3 +58,35 @@ def test_iterative_evidence_end_to_end():
     sign, want_ld = np.linalg.slogdet(Kmat)
     np.testing.assert_allclose(float(quad), want_quad, rtol=1e-6)
     assert abs(float(logdet) - want_ld) / abs(want_ld) < 0.05
+
+
+def test_pivoted_cholesky_approximates_K():
+    from gpc_tpu.ops.iterative import pivoted_cholesky
+    kern, p, X, Kmat = _setup(N=200)
+    Lk = np.asarray(pivoted_cholesky(kern, p, X, rank=60))
+    white = float(kern.white(p))
+    approx = Lk @ Lk.T + white * np.eye(200)
+    # low-rank + white should capture most of K's energy
+    rel = np.linalg.norm(approx - Kmat) / np.linalg.norm(Kmat)
+    assert rel < 0.05, rel
+
+
+def test_pcg_converges_faster_than_cg():
+    import jax
+    from gpc_tpu.ops.iterative import (pivoted_cholesky, woodbury_preconditioner,
+                                       pcg_solve)
+    # ill-conditioned: long lengthscale rbf + tiny white
+    q = 3
+    X = jnp.asarray(rng.standard_normal((250, q)))
+    kern = _kern(q)
+    p = jnp.asarray(np.array([0.05, 2.0, 0.5, 1e-4]))
+    Kmat = np.asarray(kern.gram(p, X))
+    B = jnp.asarray(rng.standard_normal((250, 1)))
+    mvm = lambda V: kernel_mvm(kern, p, X, V, block=128)
+    plain = cg_solve(mvm, B, max_iters=1000, tol=1e-9)
+    Lk = pivoted_cholesky(kern, p, X, rank=50)
+    pre = woodbury_preconditioner(Lk, kern.white(p) + 1e-6)
+    pcg = pcg_solve(mvm, B, pre, max_iters=1000, tol=1e-9)
+    want = np.linalg.solve(Kmat, np.asarray(B))
+    np.testing.assert_allclose(np.asarray(pcg.x), want, rtol=1e-4, atol=1e-6)
+    assert int(pcg.iters) < int(plain.iters), (int(pcg.iters), int(plain.iters))
