@@ -120,16 +120,25 @@ def slq_logdet(mvm, N: int, key, probes: int = 16, lanczos_iters: int = 32,
 
 
 @functools.partial(jax.jit, static_argnames=("kern", "block", "probes",
-                                             "lanczos_iters", "cg_iters"))
+                                             "lanczos_iters", "cg_iters",
+                                             "precond_rank"))
 def iterative_evidence(kern: Kern, p, X, m, key, block: int = 2048,
                        probes: int = 16, lanczos_iters: int = 32,
-                       cg_iters: int = 256):
+                       cg_iters: int = 256, precond_rank: int = 0):
     """Matrix-free (quad, logdet) — the two FTC evidence ingredients.
 
-    quad = Σ_j m_jᵀK⁻¹m_j via CG; logdet via SLQ.  O(N·block) memory.
+    quad = Σ_j m_jᵀK⁻¹m_j via (preconditioned) CG; logdet via SLQ.
+    precond_rank > 0 builds a pivoted-Cholesky/Woodbury preconditioner —
+    required for convergence at large N / small white variance (measured at
+    N=65k: plain CG stalls, ROADMAP.md).  O(N·(block+rank)) memory.
     """
     mvm = lambda V: kernel_mvm(kern, p, X, V, block=block)
-    sol = cg_solve(mvm, m, max_iters=cg_iters)
+    if precond_rank > 0:
+        Lk = pivoted_cholesky(kern, p, X, precond_rank)
+        pre = woodbury_preconditioner(Lk, kern.white(p) + 1e-8)
+        sol = pcg_solve(mvm, m, pre, max_iters=cg_iters)
+    else:
+        sol = cg_solve(mvm, m, max_iters=cg_iters)
     quad = jnp.sum(m * sol.x)
     logdet = slq_logdet(mvm, X.shape[0], key, probes=probes,
                         lanczos_iters=lanczos_iters, dtype=X.dtype)

@@ -90,3 +90,13 @@ def test_pcg_converges_faster_than_cg():
     want = np.linalg.solve(Kmat, np.asarray(B))
     np.testing.assert_allclose(np.asarray(pcg.x), want, rtol=1e-4, atol=1e-6)
     assert int(pcg.iters) < int(plain.iters), (int(pcg.iters), int(plain.iters))
+
+
+def test_iterative_evidence_preconditioned():
+    kern, p, X, Kmat = _setup()
+    m = jnp.asarray(rng.standard_normal((300, 1)))
+    quad, _ = iterative_evidence(kern, p, X, m, jax.random.PRNGKey(2),
+                                 block=128, probes=8, lanczos_iters=30,
+                                 precond_rank=60)
+    want = float(np.asarray(m).T @ np.linalg.solve(Kmat, np.asarray(m)))
+    np.testing.assert_allclose(float(quad), want, rtol=1e-5)
