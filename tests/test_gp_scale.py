@@ -1,0 +1,25 @@
+"""BASELINE.json config: sparse approximations at N>=10k synthetic."""
+
+import numpy as np
+import pytest
+
+from gpc_tpu import kernels as K
+from gpc_tpu.models.gp import GP
+
+
+@pytest.mark.parametrize("approx", ["dtc", "fitc"])
+def test_sparse_n10k_synthetic(approx):
+    rng = np.random.default_rng(0)
+    N, q, M = 10000, 4, 200
+    X = rng.standard_normal((N, q))
+    y = np.sin(X[:, :1] * 2) + 0.1 * rng.standard_normal((N, 1))
+    kern = K.Cmpnd(input_dim=q, components=(
+        K.Rbf(input_dim=q), K.Bias(input_dim=q), K.White(input_dim=q)))
+    m = GP(kern, X, y, approx=approx, num_active=M, centre=True, seed=0)
+    res = m.optimise(iters=30)
+    assert np.isfinite(float(res.obj))
+    # beta should approach the true noise precision 1/0.1^2 = 100
+    assert 30 < m.beta() < 300, m.beta()
+    mu, var = m.predict(X[:200])
+    rmse = float(np.sqrt(np.mean((np.asarray(mu) - y[:200]) ** 2)))
+    assert rmse < 0.2, rmse
