@@ -168,3 +168,89 @@ def make_dist_ftc_value_and_grad(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
         local, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
         out_specs=(P(), P()), check_vma=False)
+
+
+def make_dist_ftc_posterior(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
+                            n_valid: int):
+    """Distributed FTC prediction: (mu, var) at T test points, K row-sharded.
+
+    alpha = K⁻¹m from the forward+backward panel sweeps; the predictive
+    variance's L⁻¹k* runs a third forward sweep with the T test columns as
+    right-hand sides.  Returns posterior(theta, X, y, mask, Xtest) with
+    replicated (T, D) outputs — the distributed CGp::posteriorMeanVar.
+    """
+    assert spec.approx == "ftc"
+    n_dev = len(mesh.devices)
+    bias = jnp.asarray(bias)
+    fixed_scales = jnp.asarray(fixed_scales)
+    D = spec.output_dim
+
+    def local(theta, X_l, y_l, mask_l, Xtest):
+        B = X_l.shape[0]
+        N = B * n_dev
+        d = lax.axis_index(DATA_AXIS)
+        zero = jnp.zeros((), jnp.int32)
+        rows_g = d * B + jnp.arange(B)
+        T = Xtest.shape[0]
+
+        X_g = lax.all_gather(X_l, DATA_AXIS, tiled=True)
+        mask_g = lax.all_gather(mask_l, DATA_AXIS, tiled=True)
+        _, kp, scales, _ = spec.unpack(theta)
+        scales_ = scales if spec.learn_scales else fixed_scales
+
+        K_rows = spec.kern.compute(kp, X_l, X_g)
+        diag_l = spec.kern.diag(kp, X_l)
+        K_rows = K_rows * (mask_l[:, None] * mask_g[None, :])
+        idx = jnp.arange(B)
+        K_rows = K_rows.at[idx, rows_g].set(jnp.where(mask_l > 0, diag_l, 1.0))
+        m_l = (y_l - bias[None, :]) / scales_[None, :] * mask_l[:, None]
+        m_g = lax.all_gather(m_l, DATA_AXIS, tiled=True)
+
+        # test cross-columns for ALL training rows (replicated; T assumed modest)
+        kX_l = spec.kern.compute(kp, X_l, Xtest) * mask_l[:, None]   # (B, T)
+        kX = lax.all_gather(kX_l, DATA_AXIS, tiled=True)             # (N, T)
+
+        # sweep 1: factor + forward-solve [m | kX] together
+        R0 = jnp.concatenate([m_g, kX], axis=1)                      # (N, D+T)
+
+        def body1(j, carry):
+            S, r = carry
+            S, panel = _local_factor_step(j, S, n_dev, B, N)
+            j32 = jnp.asarray(j, jnp.int32)
+            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+            r_j = lax.dynamic_slice(r, (j32 * B, zero), (B, R0.shape[1]))
+            v_j = solve_triangular(L_jj, r_j, lower=True)
+            below = (jnp.arange(N) >= (j + 1) * B)[:, None]
+            r = r - jnp.where(below, panel @ v_j, 0.0)
+            r = lax.dynamic_update_slice(r, v_j, (j32 * B, zero))
+            return S, r
+
+        L_local, V = lax.fori_loop(0, n_dev, body1, (K_rows, R0))
+        v_m = V[:, :D]            # L⁻¹m
+        v_k = V[:, D:]            # L⁻¹k*
+
+        # sweep 2: backward solve for alpha = L⁻ᵀ (L⁻¹ m)
+        def body2(t, alpha):
+            j = n_dev - 1 - t
+            j32 = jnp.asarray(j, jnp.int32)
+            panel = _gather_panel(L_local, j, B)
+            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+            a_j = lax.dynamic_slice(alpha, (j32 * B, zero), (B, D))
+            below = (jnp.arange(N) >= (j + 1) * B)[:, None]
+            rhs = a_j - panel.T @ jnp.where(below, alpha, 0.0)
+            a_j = solve_triangular(L_jj.T, rhs, lower=False)
+            return lax.dynamic_update_slice(alpha, a_j, (j32 * B, zero))
+
+        alpha = lax.fori_loop(0, n_dev, body2, v_m)
+
+        mu0 = kX.T @ alpha                                           # (T, D)
+        kstar = spec.kern.diag(kp, Xtest)
+        var0 = kstar - jnp.sum(v_k * v_k, axis=0)                    # (T,)
+        mu = mu0 * scales_[None, :] + bias[None, :]
+        var = var0[:, None] * (scales_ ** 2)[None, :]
+        return mu, var
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=(P(), P()), check_vma=False)

@@ -51,3 +51,19 @@ def test_scg_training_on_distributed_path():
     np.testing.assert_allclose(float(res.obj), float(res_single.obj), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_single.x),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_distributed_posterior_matches_single_chip():
+    from gpc_tpu.parallel.dist_ftc import make_dist_ftc_posterior
+    from gpc_tpu.models.gp import posterior
+    model, vag, args = _setup(N=40, D=2)
+    Xtest = jnp.asarray(rng.standard_normal((7, 3)))
+    post = jax.jit(make_dist_ftc_posterior(
+        model.spec, data_mesh(), model.bias, model.fixed_scales, 40))
+    mu, var = post(model.theta, *args, Xtest)
+    mu_s, var_s = posterior(model.spec, model.theta, model.X, model.y,
+                            model.bias, model.fixed_scales, Xtest)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s), rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_s), rtol=1e-8,
+                               atol=1e-10)
