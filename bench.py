@@ -116,6 +116,26 @@ def main():
           f"matmul_roofline={roofline_gflops:.0f} GFLOP/s "
           f"target(80%)={target:.0f} GFLOP/s", file=sys.stderr)
 
+    # secondary (stderr): sinc time-to-converge, the reference's own headline
+    # ("couple of minutes" on a Pentium IV, reference README.md:56)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from gpc_tpu import kernels as GK
+        from gpc_tpu.models.gp import GP
+        from gpc_tpu.io.svml import read_svml
+        Xs, ys = read_svml("/root/reference/examples/sinc.svml")
+        kern = GK.Cmpnd(input_dim=1, components=(
+            GK.Rbf(input_dim=1), GK.Bias(input_dim=1), GK.White(input_dim=1)))
+        model = GP(kern, Xs, ys, centre=True)
+        t0 = time.perf_counter()
+        res = model.optimise(iters=100)
+        t_sinc = time.perf_counter() - t0
+        print(f"# sinc learn -# 100: {t_sinc:.1f}s incl. compile "
+              f"({int(res.iters)} iters, obj {float(res.obj):.4f}; "
+              f"reference: 'couple of minutes')", file=sys.stderr)
+    except Exception as e:  # secondary metric must never break the bench
+        print(f"# sinc timing skipped: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

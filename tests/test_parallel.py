@@ -76,3 +76,11 @@ def test_dist_scg_training_matches_single_chip():
 
 def test_eight_devices_present():
     assert len(jax.devices()) == 8  # conftest virtual device count
+
+
+def test_scaling_bench_smoke():
+    from gpc_tpu.parallel.scaling_bench import run
+    results = run(rows_per_device=96, num_active=16, q=2, device_counts=[1, 2])
+    assert len(results) == 2
+    assert results[0]["efficiency"] == 1.0
+    assert all(r["t_ms"] > 0 for r in results)
