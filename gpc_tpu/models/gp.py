@@ -275,8 +275,11 @@ class GP:
 
         X_u = None
         if self.spec.sparse:
-            rng = np.random.RandomState(seed if seed is not None else 0)
-            idx = np.sort(rng.permutation(N)[:num_active])
+            # Reference-exact selection: MT19937 randpermTrunc then sort
+            # (CGp.cpp:273-284) so seeded runs match the reference binaries.
+            from gpc_tpu.utils.refrng import RefRng
+            rng = RefRng(seed if seed is not None else 0)
+            idx = np.sort(rng.randperm_trunc(N, num_active))
             X_u = X[idx]
         self.X_u_fixed = X_u if inducing_fixed else None
         self.theta = jnp.asarray(self.spec.pack(

@@ -232,8 +232,14 @@ class GPLVM:
 
         m = (y - self.noise_bias) / self.fixed_scales
         if init == "rand":
-            rng = np.random.RandomState(seed if seed is not None else 0)
-            Xvals = rng.randn(N, latent_dim) * 0.001
+            # CGplvm::initXrand fills the latent matrix with variance-0.001
+            # normal deviates in column-major memory order via ndlutil::randn
+            # (CGplvm.cpp:144-149, CMatrix.cpp:517-526) — reproduce the exact
+            # stream so seeded runs match the reference binaries.
+            from gpc_tpu.utils.refrng import RefRng
+            rng = RefRng(seed if seed is not None else 0)
+            Xvals = np.array([rng.randn() for _ in range(N * latent_dim)],
+                             dtype=np.float64).reshape(latent_dim, N).T * np.sqrt(0.001)
         elif self.spec.back_constrained:
             _, Xvals = back_constraint_init(np.asarray(self.bK), latent_dim)
         else:
