@@ -234,6 +234,23 @@ class IVM:
         self.state: Optional[IvmState] = None
         self._select = jax.jit(lambda kp, npar, key: select_points(
             self.spec, kp, npar, self.X, self.y, key))
+        # Jitted once with the site state as ARGUMENTS (not closure captures):
+        # CIvm::optimise re-selects every external iteration, and re-tracing
+        # the objectives each round dominated wall-clock before this.
+        codes = self.spec.kern.transform_codes()
+        ncodes = self.spec.noise.transform_codes()
+
+        def _kern_obj(a, Xa, m_site, beta_site):
+            kp = tr.apply_atox(codes, a)
+            return -active_log_likelihood(self.spec, kp, Xa, m_site, beta_site)
+
+        def _noise_obj(a, mu, varsigma):
+            npar = tr.apply_atox(ncodes, a)
+            return -self.spec.noise.log_likelihood(npar, mu, varsigma,
+                                                   jnp.asarray(self.y))
+
+        self._kern_vag = jax.jit(jax.value_and_grad(_kern_obj))
+        self._noise_vag = jax.jit(jax.value_and_grad(_noise_obj))
 
     # -- CIvm API parity -----------------------------------------------------
     def init_and_select(self):
@@ -260,26 +277,16 @@ class IVM:
                 self.init_and_select()
                 st = self.state
                 Xa = jnp.asarray(self.active_X())
-
-                def kern_obj(a):
-                    kp = tr.apply_atox(codes, a)
-                    return -active_log_likelihood(self.spec, kp, Xa,
-                                                  st.m_site, st.beta_site)
                 a0 = tr.apply_xtoa(codes, self.kern_params)
-                res = scg(jax.jit(jax.value_and_grad(kern_obj)), a0,
-                          max_iters=kern_iters)
+                res = scg(self._kern_vag, a0, max_iters=kern_iters,
+                          args=(Xa, st.m_site, st.beta_site))
                 self.kern_params = tr.apply_atox(codes, res.x)
             if noise_iters > 0:
                 self.init_and_select()
                 st = self.state
-
-                def noise_obj(a):
-                    npar = tr.apply_atox(ncodes, a)
-                    return -self.spec.noise.log_likelihood(
-                        npar, st.mu, st.varsigma, jnp.asarray(self.y))
                 a0 = tr.apply_xtoa(ncodes, self.noise_params)
-                res = scg(jax.jit(jax.value_and_grad(noise_obj)), a0,
-                          max_iters=noise_iters)
+                res = scg(self._noise_vag, a0, max_iters=noise_iters,
+                          args=(st.mu, st.varsigma))
                 self.noise_params = tr.apply_atox(ncodes, res.x)
         self.init_and_select()
 

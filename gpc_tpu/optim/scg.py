@@ -53,18 +53,32 @@ class _State(NamedTuple):
 
 
 def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
-        param_tol: float = 1e-6, obj_tol: float = 1e-6) -> ScgResult:
+        param_tol: float = 1e-6, obj_tol: float = 1e-6, args=()) -> ScgResult:
     """Minimize value_and_grad_fn (returning (obj, grad)) starting at x0.
 
     Defaults mirror COptimisable.h:29-36 (1000 iters, tolerances 1e-6).
     obj_tol is accepted for signature parity; see module docstring on why the
     reference's objective test is vacuous.
+
+    `args` are extra arrays passed through as value_and_grad_fn(x, *args).
+    Pass per-call data (e.g. the IVM's re-selected active set) here rather
+    than capturing it in a closure: closure captures become embedded
+    constants, forcing a full while_loop recompile on every call, while args
+    are traced — one compile per (fn identity, shapes).
     """
-    x0 = jnp.asarray(x0)
+    return _scg_run(value_and_grad_fn,
+                    jnp.asarray(x0), tuple(jnp.asarray(a) for a in args),
+                    int(max_iters), float(param_tol))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("value_and_grad_fn", "max_iters",
+                                    "param_tol"))
+def _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol) -> ScgResult:
     n_params = x0.shape[0]
     dt = x0.dtype
 
-    obj0, g0 = value_and_grad_fn(x0)
+    obj0, g0 = value_and_grad_fn(x0, *args)
     r0 = -g0
     init = _State(
         w=x0, r=r0, p=r0, s=jnp.zeros_like(x0),
@@ -84,7 +98,7 @@ def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
 
         def probe(_):
             sigma = 1e-4 / normp
-            _, g_plus = value_and_grad_fn(st.w + sigma * st.p)
+            _, g_plus = value_and_grad_fn(st.w + sigma * st.p, *args)
             s = (g_plus + st.r) / sigma  # (∇f(w+σp) − ∇f(w))/σ since r = −∇f(w)
             return s, jnp.sum(s * st.p)
 
@@ -95,8 +109,8 @@ def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
         delta = delta + lam_diff * normp  # sic: ‖p‖, reference COptimisable.cpp:320
 
         # PD repair (step 4)
-        def repair(args):
-            s, delta, lam, lam_bar = args
+        def repair(vals):
+            s, delta, lam, lam_bar = vals
             d_over = delta / normp2
             s = s + (lam - 2.0 * d_over) * st.p
             lam_bar = 2.0 * (lam - d_over)
@@ -114,7 +128,7 @@ def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
         # (COptimisable.cpp:341) and re-evaluates the gradient at step 7 on
         # success; since successful steps dominate, computing value_and_grad once
         # and reusing the gradient in the success branch is strictly cheaper.
-        new_obj, g_try = value_and_grad_fn(w_try)
+        new_obj, g_try = value_and_grad_fn(w_try, *args)
         Delta = 2.0 * delta * (st.old_obj - new_obj) / (mu * mu)
         Delta = jnp.where(jnp.isfinite(Delta), Delta, -jnp.inf)
 
