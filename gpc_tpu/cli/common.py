@@ -270,9 +270,28 @@ class KernelSpecParser:
         return kern, np.concatenate(params) if params else np.zeros(0)
 
 
-def load_data(path):
-    X, y = read_svml(path)
-    return X, y
+def load_data(path, file_format: int = 0):
+    """CClctrl::readData (CClctrl.cpp:173-199): format 0 = SVM-light, format 1
+    = MATLAB .mat with variables X and y (the reference's _NDLMATLAB path,
+    here via scipy.io so GPmat-produced data files interoperate)."""
+    if file_format == 0:
+        return read_svml(path)
+    if file_format == 1:
+        import scipy.io
+        try:
+            mat = scipy.io.loadmat(path)
+        except Exception as e:  # noqa: BLE001 - map to the CLI error discipline
+            raise ExitError(f"Unable to read MATLAB file {path}: {e}")
+        missing = [k for k in ("X", "y") if k not in mat]
+        if missing:
+            raise ExitError(f"MATLAB file {path} lacks variable(s): "
+                            + ", ".join(missing))
+        X = np.atleast_2d(np.asarray(mat["X"], dtype=np.float64))
+        y = np.asarray(mat["y"], dtype=np.float64)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)  # match read_svml's (N, D) convention
+        return X, y
+    raise ExitError("Unrecognised file format number.")
 
 
 def write_unheaded(path, M, comment=None):

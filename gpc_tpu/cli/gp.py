@@ -68,7 +68,7 @@ def learn(cl: CommandLine):
     if cl.pos + 1 < len(cl.argv):
         model_file = cl.argv[cl.pos + 1]
 
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     kern, kern_params = ks.build(X.shape[1], default_type="rbf")
 
     if approx == "ftc":
@@ -120,7 +120,7 @@ def relearn(cl: CommandLine):
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "gp_model"
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     model = model_io.read_gp(model_file, X=X, y=y)
     res = model.optimise(iters=iters, optimiser=optimiser)
     if cl.verbosity > 0:
@@ -160,7 +160,7 @@ def gnuplot(cl: CommandLine):
     if cl.pos + 2 < len(cl.argv):
         name = cl.argv[cl.pos + 2]
 
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     model = model_io.read_gp(model_file, X=X, y=y)
     q = model.spec.input_dim
     if q > 2:

@@ -100,7 +100,7 @@ def learn(cl: CommandLine):
     if cl.pos + 1 < len(cl.argv):
         model_file = cl.argv[cl.pos + 1]
 
-    Y, ylab = load_data(data_file)
+    Y, ylab = load_data(data_file, cl.file_format)
     # integer svml labels kept for plotting only (gplvm.cpp:342-358)
     labels = None
     if np.all(ylab == np.round(ylab)):

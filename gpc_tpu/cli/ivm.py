@@ -98,7 +98,7 @@ def learn(cl: CommandLine):
     if cl.pos + 1 < len(cl.argv):
         model_file = cl.argv[cl.pos + 1]
 
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     labelled_idx = None
     if labelled_file:
         with open(labelled_file) as f:
@@ -160,7 +160,7 @@ def relearn(cl: CommandLine):
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "ivm_model"
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     if labelled_file:
         with open(labelled_file) as f:
             labelled_idx = [int(ln) - 1 for ln in f if ln.strip()]
@@ -182,7 +182,7 @@ def relearn(cl: CommandLine):
 def _load_model_and_data(cl, default_model="ivm_model"):
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else default_model
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     model = model_io.read_ivm(model_file)
     if model.spec.input_dim != X.shape[1]:
         raise ExitError(f"{data_file}: input data is not of correct dimension")
@@ -215,7 +215,7 @@ def predict(cl: CommandLine):
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "ivm_model"
     pred_file = cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv) else "ivm_predictions"
-    X, _ = load_data(data_file)
+    X, _ = load_data(data_file, cl.file_format)
     model = model_io.read_ivm(model_file)
     yPred = np.asarray(model.out(X))
     write_unheaded(pred_file, yPred)
@@ -226,7 +226,7 @@ def class_one_probabilities(cl: CommandLine):
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "ivm_model"
     out_file = cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv) else "ivm_probabilities"
-    X, _ = load_data(data_file)
+    X, _ = load_data(data_file, cl.file_format)
     model = model_io.read_ivm(model_file)
     mu, vs = model.predict(X)
     ones = np.ones((X.shape[0], model.spec.output_dim))
@@ -260,7 +260,7 @@ def gnuplot(cl: CommandLine):
         model_file = cl.argv[cl.pos + 1]
     if cl.pos + 2 < len(cl.argv):
         name = cl.argv[cl.pos + 2]
-    X, y = load_data(data_file)
+    X, y = load_data(data_file, cl.file_format)
     model = model_io.read_ivm(model_file, X=X, y=y)
     if model.spec.input_dim != 2:
         raise ExitError("Incorrect number of model inputs.")

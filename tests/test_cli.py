@@ -131,3 +131,20 @@ def test_ivm_relearn_active_size_flag(in_tmp):
     from gpc_tpu.io import model_io as mio
     m = mio.read_ivm("ra")
     assert m.spec.num_active == 12
+
+
+def test_gp_learn_matlab_format(in_tmp, capsys):
+    """-f 1 reads MATLAB data files (CClctrl.cpp:179-189 _NDLMATLAB path)."""
+    import scipy.io
+    from gpc_tpu.io.svml import read_svml
+    X, y = read_svml(SINC)
+    scipy.io.savemat("sinc.mat", {"X": X, "y": y.reshape(-1, 1)})
+    gp_cli.main(["-s", "42", "-v", "1", "learn", "-f", "1", "-#", "30",
+                 "sinc.mat", "mmat"])
+    out = capsys.readouterr().out
+    assert "rbfinverseWidth" in out
+    with pytest.raises(SystemExit):
+        gp_cli.main(["learn", "-f", "2", SINC])
+    with pytest.raises(SystemExit):
+        scipy.io.savemat("bad.mat", {"X": X})
+        gp_cli.main(["learn", "-f", "1", "bad.mat"])
