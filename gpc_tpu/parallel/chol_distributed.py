@@ -33,15 +33,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gpc_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_factor_step(j, S_local, n_dev, B, N):
-    """One panel step inside shard_map; S_local is this device's (B, N) rows."""
-    d = lax.axis_index(DATA_AXIS)
+def _local_factor_step(j, S_local, n_dev, B, N, axis=DATA_AXIS):
+    """One panel step inside shard_map; S_local is this device's (B, N) rows.
+
+    `axis` names the mesh axis the rows are sharded over — "dp" for the dense
+    FTC path, "mp" when the same machinery factors inducing-space matrices on
+    a 2-D mesh (parallel/dist_sparse2d.py)."""
+    d = lax.axis_index(axis)
 
     # 1. gather column panel j: my (B, B) slice of columns [jB, (j+1)B)
     j = jnp.asarray(j, jnp.int32)
     zero = jnp.zeros((), jnp.int32)
     my_cols = lax.dynamic_slice(S_local, (zero, j * B), (B, B))
-    panel = lax.all_gather(my_cols, DATA_AXIS, tiled=True)        # (N, B)
+    panel = lax.all_gather(my_cols, axis, tiled=True)             # (N, B)
 
     # 2. replicated panel factorization
     diag = lax.dynamic_slice(panel, (j * B, zero), (B, B))
