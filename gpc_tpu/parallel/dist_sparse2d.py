@@ -100,12 +100,34 @@ def _fwd_solve_rows(L_rows, b_l, n_mp, Mb):
     return v_l
 
 
+def _ring_gram_rows(V_l, n_mp, Mb, M, r):
+    """Row block of V·Vᵀ (psum'd over dp) assembled by an mp-ring so only one
+    remote (Mb, Nl) chunk is live at a time."""
+    def ring_body(s, carry):
+        G_rows, V_remote, src = carry
+        block = lax.psum(V_l @ V_remote.T, DP_AXIS)              # (Mb, Mb)
+        G_rows = lax.dynamic_update_slice(
+            G_rows, block, (jnp.zeros((), jnp.int32),
+                            jnp.asarray(src * Mb, jnp.int32)))
+        perm = [(i, (i + 1) % n_mp) for i in range(n_mp)]
+        V_remote = lax.ppermute(V_remote, MP_AXIS, perm)
+        src = (src - 1) % n_mp
+        return G_rows, V_remote, src
+
+    G0 = jnp.zeros((Mb, M), V_l.dtype)
+    G_rows, _, _ = lax.fori_loop(0, n_mp, ring_body, (G0, V_l, r),
+                                 unroll=True)
+    return G_rows
+
+
 def make_dist2d_objective(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
                           n_valid: int):
     """Returns nlml(theta, X, y, mask): theta replicated, X/y/mask sharded
-    P('dp') (replicated over mp).  DTC only (the FITC D-correction is diagonal
-    in data space and slots into the same skeleton — ROADMAP)."""
-    assert spec.approx == "dtc", "2-D mesh path implements DTC"
+    P('dp') (replicated over mp).  Implements all three sparse evidences
+    (DTC / DTCVAR / FITC — reference closed forms CGp.cpp:939-988) with every
+    M-sized object 2-D-block resident."""
+    assert spec.approx in ("dtc", "dtcvar", "fitc"), \
+        "2-D mesh path implements the sparse approximations"
     bias = jnp.asarray(bias)
     fixed_scales = jnp.asarray(fixed_scales)
     N, D, M = spec.n_data, spec.output_dim, spec.num_active
@@ -129,34 +151,53 @@ def make_dist2d_objective(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
         K_uu_rows = jnp.where(own, diag_uu[:, None], K_uu_rows)  # symmetric diag discipline
         K_ufl = spec.kern.compute(kp, X_u_l, Xl) * maskl[None, :]  # (Mb, Nl)
 
-        # e and mᵀm reductions over data shards
-        e_l = lax.psum(K_ufl @ ml, DP_AXIS)                      # (Mb, D)
-        mm = lax.psum(jnp.sum(ml * ml), DP_AXIS)  # identical on every mp rank
-
-        # A row-block: ring over mp so only one remote (Mb, Nl) chunk is live
-        def ring_body(s, carry):
-            KK_rows, K_remote, src = carry
-            block = lax.psum(K_ufl @ K_remote.T, DP_AXIS)        # (Mb, Mb)
-            KK_rows = lax.dynamic_update_slice(
-                KK_rows, block, (jnp.zeros((), jnp.int32),
-                                 jnp.asarray(src * Mb, jnp.int32)))
-            perm = [(i, (i + 1) % n_mp) for i in range(n_mp)]
-            K_remote = lax.ppermute(K_remote, MP_AXIS, perm)
-            src = (src - 1) % n_mp
-            return KK_rows, K_remote, src
-
-        KK0 = jnp.zeros((Mb, M), K_ufl.dtype)
-        KK_rows, _, _ = lax.fori_loop(0, n_mp, ring_body,
-                                      (KK0, K_ufl, r), unroll=True)
-        A_rows = K_uu_rows / beta + KK_rows
-
         L_uu_rows, logdet_uu = _chol_rows(K_uu_rows, n_mp, Mb, M)
-        L_A_rows, logdetA = _chol_rows(A_rows, n_mp, Mb, M)
-        v_l = _fwd_solve_rows(L_A_rows, e_l, n_mp, Mb)
-        quad = lax.psum(jnp.sum(v_l * v_l), MP_AXIS)
 
-        Lacc = D * ((M - N) * jnp.log(beta) - logdet_uu + logdetA)
-        Lacc = Lacc - beta * (quad - mm)
+        if spec.approx in ("dtc", "dtcvar"):
+            # e and mᵀm reductions over data shards
+            e_l = lax.psum(K_ufl @ ml, DP_AXIS)                  # (Mb, D)
+            mm = lax.psum(jnp.sum(ml * ml), DP_AXIS)
+            # A = (1/β)K_uu + K_uf·K_fu (updateAD, CGp.cpp:770-773), row-block
+            # assembled by an mp-ring so only one remote chunk is live
+            KK_rows = _ring_gram_rows(K_ufl, n_mp, Mb, M, r)
+            A_rows = K_uu_rows / beta + KK_rows
+            L_A_rows, logdetA = _chol_rows(A_rows, n_mp, Mb, M)
+            v_l = _fwd_solve_rows(L_A_rows, e_l, n_mp, Mb)
+            quad = lax.psum(jnp.sum(v_l * v_l), MP_AXIS)
+
+            Lacc = D * ((M - N) * jnp.log(beta) - logdet_uu + logdetA)
+            Lacc = Lacc - beta * (quad - mm)
+            if spec.approx == "dtcvar":
+                # trace penalty D·β·Σ(diagK − diagQ) (CGp.cpp:954-955);
+                # diagQ via the distributed W = L_uu⁻¹·K_uf forward solve
+                W_l = _fwd_solve_rows(L_uu_rows, K_ufl, n_mp, Mb)
+                diagQ = lax.psum(jnp.sum(W_l * W_l, axis=0), MP_AXIS)
+                diagK = spec.kern.diag(kp, Xl)
+                dD_l = beta * (diagK - diagQ) * maskl
+                Lacc = Lacc + D * lax.psum(jnp.sum(dD_l), DP_AXIS)
+        else:  # FITC (CGp.cpp:806-858, 962-988): D-scaled A in L_uu⁻¹ space
+            W_l = _fwd_solve_rows(L_uu_rows, K_ufl, n_mp, Mb)    # (Mb, Nl)
+            diagQ = lax.psum(jnp.sum(W_l * W_l, axis=0), MP_AXIS)
+            diagK = spec.kern.diag(kp, Xl)
+            # masked (padding) columns must be exact no-ops: diagD=1 there
+            diagD = jnp.where(maskl > 0, 1.0 + beta * (diagK - diagQ), 1.0)
+            sqrtDinv = 1.0 / jnp.sqrt(diagD)
+            scaledM_l = ml * sqrtDinv[:, None]                   # ml is masked
+            V_l = W_l * sqrtDinv[None, :]                        # masked cols 0
+            Am_rows = _ring_gram_rows(V_l, n_mp, Mb, M, r)
+            eye_rows = (own.astype(V_l.dtype)) / beta            # my I/β rows
+            Am_rows = Am_rows + eye_rows
+            L_m_rows, logdet_m = _chol_rows(Am_rows, n_mp, Mb, M)
+            e_l = lax.psum(V_l @ scaledM_l, DP_AXIS)             # (Mb, D)
+            bet_l = _fwd_solve_rows(L_m_rows, e_l, n_mp, Mb)
+            quad_bet = lax.psum(jnp.sum(bet_l * bet_l), MP_AXIS)
+            sMsM = lax.psum(jnp.sum(scaledM_l * scaledM_l), DP_AXIS)
+
+            Lacc = (M - N) * jnp.log(beta) + N * ndlutil.LOGTWOPI
+            Lacc = Lacc + lax.psum(jnp.sum(jnp.log(diagD)), DP_AXIS)
+            Lacc = Lacc + logdet_m
+            Lacc = Lacc * D
+            Lacc = Lacc + beta * (sMsM - quad_bet)
         if spec.learn_scales:
             Lacc = Lacc + 2.0 * jnp.sum(jnp.log(jnp.abs(scales)))
         L = -0.5 * Lacc

@@ -1,4 +1,5 @@
-"""2-D mesh (mp × dp) DTC evidence: value AND gradient vs single chip."""
+"""2-D mesh (mp × dp) sparse evidence (DTC/DTCVAR/FITC): value AND gradient
+vs single chip."""
 
 import numpy as np
 import jax
@@ -18,13 +19,14 @@ def _kern(q):
         K.Rbf(input_dim=q), K.Bias(input_dim=q), K.White(input_dim=q)))
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["dtc", "dtcvar", "fitc"])
+def setup(request):
+    approx = request.param
     N, q, D, M = 45, 3, 2, 8
     X = rng.standard_normal((N, q))
     y = np.column_stack([np.sin(X[:, 0]), np.cos(X[:, 1])])
     y += 0.05 * rng.standard_normal((N, D))
-    model = GP(_kern(q), X, y, approx="dtc", num_active=M, beta=2.0, seed=7)
+    model = GP(_kern(q), X, y, approx=approx, num_active=M, beta=2.0, seed=7)
     mesh = mesh_2d(2, 4)
     n_dp = 4
     Xp, _ = pad_rows(X, n_dp)
@@ -55,7 +57,6 @@ def test_gradient_matches_single_chip(setup):
 
 def test_scg_step_runs_sharded(setup):
     """A short SCG run driven by the 2-D objective stays finite and descends."""
-    import jax.numpy as jnp
     from gpc_tpu.optim.scg import scg
     model, nlml, Xs, ys, ms = setup
     vag = jax.jit(jax.value_and_grad(nlml))
