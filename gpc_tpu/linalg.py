@@ -30,6 +30,45 @@ from jax.scipy.linalg import solve_triangular
 FAST_JITCHOL = os.environ.get("GPC_TPU_FAST_JITCHOL", "0") == "1"
 
 
+def _phi(X):
+    """Lower-triangle projection with halved diagonal (cholesky jvp mask)."""
+    return jnp.tril(X) / (1.0 + jnp.eye(X.shape[-1], dtype=X.dtype))
+
+
+@jax.custom_vjp
+def _chol_nansafe(A):
+    """Cholesky whose BACKWARD is a no-op when the factor is non-finite.
+
+    Needed by the single-pass jitchol: the first (jitter-free) attempt is the
+    differentiable one, and when it fails its NaN factor would poison the
+    rescue branch's gradient through the standard cholesky vjp (0·NaN leak,
+    see CLAUDE.md).  Sanitizing INPUTS of the backward keeps the failed
+    attempt's cotangent contribution exactly zero."""
+    from gpc_tpu.ops.chol_blocked import cholesky as _chol
+    return _chol(A)
+
+
+def _chol_nansafe_fwd(A):
+    L = _chol_nansafe(A)
+    return L, L
+
+
+def _chol_nansafe_bwd(L, Lbar):
+    ok = jnp.all(jnp.isfinite(L))
+    n = L.shape[-1]
+    L_s = jnp.where(ok, L, jnp.eye(n, dtype=L.dtype))
+    Lbar_s = jnp.where(ok, Lbar, jnp.zeros_like(Lbar))
+    # Ā = sym(L⁻ᵀ·Φ(Lᵀ L̄)·L⁻¹)  — transpose of the cholesky jvp rule
+    P = _phi(L_s.T @ Lbar_s)
+    D = solve_triangular(L_s.T, P, lower=False)            # L⁻ᵀ P
+    C = solve_triangular(L_s.T, D.T, lower=False).T        # (L⁻ᵀ P) L⁻¹
+    Abar = 0.5 * (C + C.T)
+    return (jnp.where(ok, Abar, jnp.zeros_like(Abar)),)
+
+
+_chol_nansafe.defvjp(_chol_nansafe_fwd, _chol_nansafe_bwd)
+
+
 def jitchol(A, max_tries: int = 10):
     """Lower-Cholesky factor of A, escalating diagonal jitter on failure.
 
@@ -38,6 +77,11 @@ def jitchol(A, max_tries: int = 10):
     retry.  After max_tries the (NaN) factor is returned — callers surface NaN in
     the objective, which the SCG/CG optimizers treat as a failed step, mirroring
     the reference's exception-driven pull-back (COptimisable.cpp:481-523).
+
+    Single-pass: the common case (PD at zero jitter) pays exactly ONE
+    factorization — the differentiable attempt itself is the PD probe, and the
+    jitter-discovery while_loop only runs inside the `lax.cond` rescue branch
+    taken on failure.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
@@ -48,33 +92,38 @@ def jitchol(A, max_tries: int = 10):
         jitter = 1e-6 * jnp.abs(jnp.trace(A)) / n
         return _chol(A + jitter * eye), jitter
 
-    # Jitter discovery runs on a stop-gradient copy inside a while_loop (which is
-    # not reverse-mode differentiable); the returned factor is then recomputed
-    # once differentiably at the discovered jitter, so jax.grad flows through the
-    # Cholesky but not through the discrete retry count.
-    Asg = lax.stop_gradient(A)
-    jitter0 = 1e-6 * jnp.abs(jnp.trace(Asg)) / n
-
-    def ok_at(jit_amount):
-        L = jnp.linalg.cholesky(Asg + jit_amount * eye)
-        return jnp.all(jnp.isfinite(L))
-
-    def cond(state):
-        tries, _jit, ok = state
-        return jnp.logical_and(~ok, tries < max_tries)
-
-    def body(state):
-        tries, jit_amount, _ok = state
-        return tries + 1, jit_amount * 10.0, ok_at(jit_amount)
-
+    L0 = _chol_nansafe(A)
+    ok0 = jnp.all(jnp.isfinite(L0))
     zero = jnp.zeros((), A.dtype)
-    tries, jit_amount, ok = lax.while_loop(cond, body, (jnp.array(0), jitter0, ok_at(zero)))
-    # jitter actually applied: 0 if the first try worked, else jit_amount/10
-    # (the loop pre-multiplies for the next attempt).
-    used = jnp.where(tries == 0, zero, jit_amount / 10.0)
-    from gpc_tpu.ops.chol_blocked import cholesky as _chol
-    L = _chol(A + used * eye)  # recursive blocked path for large N (2x XLA)
-    return L, used
+
+    def fine(A):
+        return L0, zero
+
+    def rescue(A):
+        # Jitter discovery on a stop-gradient copy (while_loop is not
+        # reverse-mode differentiable); the factor is then recomputed once
+        # differentiably at the discovered jitter.
+        Asg = lax.stop_gradient(A)
+        jitter0 = 1e-6 * jnp.abs(jnp.trace(Asg)) / n
+
+        def ok_at(jit_amount):
+            L = jnp.linalg.cholesky(Asg + jit_amount * eye)
+            return jnp.all(jnp.isfinite(L))
+
+        def cond(state):
+            tries, _jit, ok = state
+            return jnp.logical_and(~ok, tries < max_tries)
+
+        def body(state):
+            tries, jit_amount, _ok = state
+            return tries + 1, jit_amount * 10.0, ok_at(jit_amount)
+
+        _, jit_amount, _ = lax.while_loop(
+            cond, body, (jnp.array(1), jitter0 * 10.0, ok_at(jitter0)))
+        used = jit_amount / 10.0  # the loop pre-multiplies for the next attempt
+        return _chol_nansafe(A + used * eye), used
+
+    return lax.cond(ok0, fine, rescue, A)
 
 
 def chol_logdet(L):

@@ -66,3 +66,41 @@ def test_dist2():
     D = np.asarray(linalg.dist2(jnp.asarray(X1), jnp.asarray(X2)))
     want = ((X1[:, None, :] - X2[None, :, :]) ** 2).sum(-1)
     np.testing.assert_allclose(D, want, rtol=1e-9, atol=1e-9)
+
+
+def test_chol_nansafe_vjp_matches_reference():
+    """Closed-form cholesky vjp ≡ jax.grad of jnp.linalg.cholesky."""
+    import jax
+    A = _spd(8, 11)
+    f_ref = lambda A: jnp.sum(jnp.sin(jnp.linalg.cholesky(A)))
+    f_new = lambda A: jnp.sum(jnp.sin(linalg._chol_nansafe(A)))
+    g_ref = jax.grad(f_ref)(jnp.asarray(A))
+    g_new = jax.grad(f_new)(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_jitchol_rescue_gradient_no_nan_leak():
+    """Gradient through the failure→rescue path is finite and matches FD
+    at the (stop-gradiented) discovered jitter — the failed first attempt's
+    NaN factor must contribute exactly zero cotangent."""
+    import jax
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((8, 8))
+    C = jnp.asarray(B @ B.T - 3.0 * np.eye(8))   # indefinite
+
+    def obj(A):
+        L, _ = linalg.jitchol(A)
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    _, used = linalg.jitchol(C)
+    assert float(used) > 0.0
+    g = np.asarray(jax.grad(obj)(C))
+    assert np.all(np.isfinite(g))
+
+    c = float(used)
+    def obj_fixed(A):
+        L = linalg._chol_nansafe(A + c * jnp.eye(8, dtype=A.dtype))
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+    g_fixed = np.asarray(jax.grad(obj_fixed)(C))
+    np.testing.assert_allclose(g, g_fixed, rtol=1e-10, atol=1e-12)
