@@ -165,6 +165,41 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmSta
                     nu=final["nu"], g=final["g"])
 
 
+def select_point_remove(spec: IvmSpec, state: IvmState, key=None):
+    """Select an active point to remove (CIvm::selectPointRemove,
+    CIvm.cpp:432-489).
+
+    Removal entropy change per active slot k holding data index i:
+        Δₖ = −½ Σ_j log(1 − ς_ij·β_kj + 1e-300)
+    (spherical noise: j = 0 replicated ×D).  ENTROPY/RENTROPY pick argmax Δ,
+    RANDOM picks uniformly (CIvm.cpp:462-469).
+
+    The upstream implementation of this API is dead code with two indexing
+    bugs — `entropyPointRemove` returns `inactiveSet[argmax]` (CIvm.cpp:459)
+    and `entropyChangeRemove` reads `beta.getVal(activeSet[index],·)` with
+    `index` already a data index (CIvm.cpp:478) — so this implements the
+    documented intent, not the broken literal behavior.
+
+    Returns (slot, data_index, entropy_change).
+    """
+    d = spec.num_active
+    vs_active = state.varsigma[state.active_idx]          # (d, D)
+    if spec.noise.spherical:
+        delta = -0.5 * jnp.log(
+            1.0 - vs_active[:, 0] * state.beta_site[:, 0] + 1e-300
+        ) * spec.output_dim
+    else:
+        delta = jnp.sum(
+            -0.5 * jnp.log(1.0 - vs_active * state.beta_site + 1e-300), axis=1)
+    if spec.selection == RANDOM:
+        if key is None:
+            raise ValueError("random removal needs a PRNG key")
+        slot = jax.random.randint(key, (), 0, d)
+    else:  # entropy / rentropy
+        slot = jnp.argmax(delta)
+    return slot, state.active_idx[slot], delta[slot]
+
+
 def active_log_likelihood(spec: IvmSpec, kern_params, X_active, m_site, beta_site):
     """Active-set marginal likelihood for hyperparameter training
     (CIvm::logLikelihood, CIvm.cpp:521-540)."""

@@ -128,3 +128,28 @@ def test_random_selection_valid_permutation():
     st = model.init_and_select()
     idx = np.asarray(st.active_idx)
     assert len(np.unique(idx)) == 10
+
+
+def test_select_point_remove():
+    """Removal selection: entropy argmax over active slots; random in range;
+    removal entropy change is positive (removing a site loses information)."""
+    from gpc_tpu.models.ivm import select_point_remove
+
+    X, y = _data(N=30)
+    model = IVM(_kern(2), NZ.GaussianNoise(output_dim=1), X, y, num_active=10,
+                seed=3)
+    state = model.init_and_select()
+
+    slot, data_idx, delta = select_point_remove(model.spec, state)
+    slot, data_idx = int(slot), int(data_idx)
+    assert 0 <= slot < 10
+    assert data_idx == int(state.active_idx[slot])
+    assert float(delta) > 0.0
+
+    # random criterion draws a valid slot
+    import dataclasses
+    spec_r = dataclasses.replace(model.spec, selection="random")
+    key = jax.random.PRNGKey(0)
+    slot_r, idx_r, _ = select_point_remove(spec_r, state, key=key)
+    assert 0 <= int(slot_r) < 10
+    assert int(idx_r) == int(state.active_idx[int(slot_r)])
