@@ -75,17 +75,16 @@ def main():
 
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from gpc_tpu.ops.chol_blocked import cholesky as blocked_cholesky
+    from gpc_tpu.ops.chol_blocked import evidence_fused
 
     def evidence(X, m):
         n2 = jnp.sum(X * X, axis=1, keepdims=True)
         d2 = jnp.maximum(n2 + n2.T - 2.0 * (X @ X.T), 0.0)
         K = variance * jnp.exp(-0.5 * inv_width * d2)
         K = K + noise * jnp.eye(N, dtype=dtype)
-        L = blocked_cholesky(K)  # recursive blocked: ~2x XLA's TPU cholesky
-        v = jax.scipy.linalg.solve_triangular(L, m, lower=True)
-        quad = jnp.sum(v * v)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        # fused blocked chol + forward solve (~2x XLA's TPU cholesky; no
+        # separate latency-bound triangular_solve pass)
+        logdet, quad, _L = evidence_fused(K, m)
         return quad + logdet
 
     @jax.jit

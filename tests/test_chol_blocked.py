@@ -59,3 +59,20 @@ def test_recursive_path_is_differentiable():
         lambda A: chol_blocked.cholesky(A, force=True)))(B))
     g_ref = np.asarray(jax.grad(logdet_via(jnp.linalg.cholesky))(B))
     np.testing.assert_allclose(g, g_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_evidence_fused_matches_plain():
+    import jax.numpy as jnp
+    from gpc_tpu.ops.chol_blocked import evidence_fused
+    rng = np.random.default_rng(11)
+    N, D = 512, 3
+    B = rng.standard_normal((N, N))
+    K = B @ B.T + N * np.eye(N)
+    m = rng.standard_normal((N, D))
+    logdet, quad, L = evidence_fused(jnp.asarray(K), jnp.asarray(m), force=True)
+    sign, want_logdet = np.linalg.slogdet(K)
+    want_quad = np.trace(m.T @ np.linalg.solve(K, m))
+    np.testing.assert_allclose(float(logdet), want_logdet, rtol=1e-10)
+    np.testing.assert_allclose(float(quad), want_quad, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(L) @ np.asarray(L).T, K, rtol=1e-8,
+                               atol=1e-8 * N)
