@@ -126,6 +126,22 @@ def jitchol(A, max_tries: int = 10):
     return lax.cond(ok0, fine, rescue, A)
 
 
+def evidence_terms(A, m):
+    """(logdet A, Σⱼ mⱼᵀA⁻¹mⱼ, L) — the FTC evidence hot block.
+
+    Fast path (GPC_TPU_FAST_JITCHOL): fixed base jitter + ONE fused blocked
+    factor+solve sweep (ops/chol_blocked.evidence_fused) — no separate
+    latency-bound triangular_solve dispatch.  Exact path: reference jitchol
+    escalation, then solve."""
+    if FAST_JITCHOL:
+        from gpc_tpu.ops.chol_blocked import evidence_fused
+        n = A.shape[-1]
+        jitter = 1e-6 * jnp.abs(jnp.trace(A)) / n
+        return evidence_fused(A + jitter * jnp.eye(n, dtype=A.dtype), m)
+    L, _ = jitchol(A)
+    return chol_logdet(L), quad_form(L, m), L
+
+
 def chol_logdet(L):
     """log|A| from its Cholesky factor (CMatrix::logDet, CMatrix.cpp:404-412)."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))

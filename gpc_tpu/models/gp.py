@@ -124,9 +124,7 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
 
     if spec.approx == FTC:
         K = spec.kern.gram(kp, X)
-        L_K, _ = linalg.jitchol(K)
-        logdetK = linalg.chol_logdet(L_K)
-        quad = linalg.quad_form(L_K, m)     # Σ_j m_jᵀ K⁻¹ m_j
+        logdetK, quad, _L = linalg.evidence_terms(K, m)  # Σ_j m_jᵀK⁻¹m_j
         Lacc = quad + D * logdetK
     else:
         M = spec.num_active

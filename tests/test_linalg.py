@@ -104,3 +104,15 @@ def test_jitchol_rescue_gradient_no_nan_leak():
         return jnp.sum(jnp.log(jnp.diagonal(L)))
     g_fixed = np.asarray(jax.grad(obj_fixed)(C))
     np.testing.assert_allclose(g, g_fixed, rtol=1e-10, atol=1e-12)
+
+
+def test_evidence_terms_fast_matches_exact(monkeypatch):
+    """Fast (fused, fixed-jitter) evidence ≈ exact path on a well-conditioned
+    matrix — the perturbation is the 1e-6·mean(diag) base jitter only."""
+    A = _spd(64, 21)
+    m = np.random.default_rng(3).standard_normal((64, 2))
+    ld_e, q_e, _ = linalg.evidence_terms(jnp.asarray(A), jnp.asarray(m))
+    monkeypatch.setattr(linalg, "FAST_JITCHOL", True)
+    ld_f, q_f, _ = linalg.evidence_terms(jnp.asarray(A), jnp.asarray(m))
+    np.testing.assert_allclose(float(ld_f), float(ld_e), rtol=1e-5)
+    np.testing.assert_allclose(float(q_f), float(q_e), rtol=1e-5)
