@@ -95,7 +95,7 @@ def learn(cl: CommandLine):
         kern_params, X_u=model.inducing(),
         scales=model.fixed_scales if learn_scales else None,
         beta=1.0 if model.spec.sparse else None))
-    res = model.optimise(iters=iters, optimiser=optimiser)
+    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")
@@ -122,7 +122,7 @@ def relearn(cl: CommandLine):
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "gp_model"
     X, y = load_data(data_file, cl.file_format)
     model = model_io.read_gp(model_file, X=X, y=y)
-    res = model.optimise(iters=iters, optimiser=optimiser)
+    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

@@ -149,7 +149,7 @@ def learn(cl: CommandLine):
         np.asarray(model.spec.unpack(model.theta)[2]),
         dyn_params=dyn_params if (dyn_kern is not None and dyn_learnt) else None,
         scales=model.fixed_scales if learn_scales else None))
-    res = model.optimise(iters=iters, optimiser=optimiser)
+    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

@@ -128,7 +128,7 @@ def learn(cl: CommandLine):
 
     model = IVM(kern, noise, X, y, num_active=active, seed=cl.seed,
                 kern_params=kern_params)
-    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters)
+    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
     comment = "Run as: " + " ".join(sys.argv) + " "
@@ -173,7 +173,7 @@ def relearn(cl: CommandLine):
         model = IVM(model.spec.kern, model.spec.noise, X, y, num_active=active,
                     seed=cl.seed, kern_params=model.kern_params,
                     noise_params=model.noise_params)
-    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters)
+    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
     model_io.write_ivm(model_file, model, "Run as: " + " ".join(sys.argv))

@@ -294,11 +294,17 @@ class GP:
         return -float(self._objective(self.theta))
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
-                 obj_tol: float = 1e-6, optimiser: str = "scg"):
+                 obj_tol: float = 1e-6, optimiser: str = "scg",
+                 verbose: int = 0):
         """SCG by default (runDefaultOptimiser, COptimisable.h:183-203);
         conjgrad/graddesc/quasinew per the reference optimiser names
-        (COptimisable.h:153-182)."""
+        (COptimisable.h:153-182).  At verbose>2 with <40 params a
+        finite-difference gradient check runs first, as in CGp::optimise
+        (CGp.cpp:1544-1545)."""
         vag = jax.jit(jax.value_and_grad(self._objective))
+        if verbose > 2 and int(np.asarray(self.theta).size) < 40:
+            from gpc_tpu.optim.checkgrad import check_gradients
+            check_gradients(vag, self.theta)
         res = run_optimiser(optimiser, vag, self.theta, iters,
                             param_tol=param_tol, obj_tol=obj_tol)
         self.theta = jnp.asarray(res.x)

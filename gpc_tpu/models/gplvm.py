@@ -271,8 +271,14 @@ class GPLVM:
         return -float(self._objective(self.theta))
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
-                 obj_tol: float = 1e-6, optimiser: str = "scg"):
+                 obj_tol: float = 1e-6, optimiser: str = "scg",
+                 verbose: int = 0):
         vag = jax.jit(jax.value_and_grad(self._objective))
+        # auto gradient check, as in the reference optimise at high verbosity
+        # (CGp.cpp:1544-1545 — only for small parameter vectors)
+        if verbose > 2 and int(np.asarray(self.theta).size) < 40:
+            from gpc_tpu.optim.checkgrad import check_gradients
+            check_gradients(vag, self.theta)
         res = run_optimiser(optimiser, vag, self.theta, iters,
                             param_tol=param_tol, obj_tol=obj_tol)
         self.theta = jnp.asarray(res.x)

@@ -303,8 +303,10 @@ class IVM:
             st.m_site, st.beta_site))
 
     def optimise(self, ext_iters: int = 15, kern_iters: int = 100,
-                 noise_iters: int = 100):
-        """Alternating reselect/SCG rounds (CIvm::optimise, CIvm.cpp:685-736)."""
+                 noise_iters: int = 100, verbose: int = 0):
+        """Alternating reselect/SCG rounds (CIvm::optimise, CIvm.cpp:685-736).
+        At verbose>2 with <40 kernel params a finite-difference gradient check
+        runs before each kernel round (CIvm.cpp:704-705)."""
         codes = self.spec.kern.transform_codes()
         ncodes = self.spec.noise.transform_codes()
         for _ in range(max(ext_iters, 0)):
@@ -313,6 +315,11 @@ class IVM:
                 st = self.state
                 Xa = jnp.asarray(self.active_X())
                 a0 = tr.apply_xtoa(codes, self.kern_params)
+                if verbose > 2 and a0.size < 40:
+                    from gpc_tpu.optim.checkgrad import check_gradients
+                    check_gradients(
+                        lambda a: self._kern_vag(a, Xa, st.m_site,
+                                                 st.beta_site), a0)
                 res = scg(self._kern_vag, a0, max_iters=kern_iters,
                           args=(Xa, st.m_site, st.beta_site))
                 self.kern_params = tr.apply_atox(codes, res.x)

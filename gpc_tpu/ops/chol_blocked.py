@@ -33,6 +33,15 @@ BASE = 256  # best measured total at N=16k (39 ms vs 41.7 at 512, 55.5 at 2048)
 # noise dwarfs bf16 rounding; never for f64 parity.
 BF16_UPDATES = os.environ.get("GPC_TPU_BF16_CHOL", "0") == "1"
 
+# MAGMA-style fast path: factor each BASE-sized diagonal block with the Pallas
+# in-VMEM kernel that ALSO returns the block's triangular inverse
+# (ops/chol_pallas.chol_inv_block).  Every triangular solve against a leaf
+# then becomes a plain GEMM on the MXU, removing both XLA's per-cholesky
+# ~ms floor and its triangular_solve floor from the critical path.  Forward
+# only (pallas_call has no VJP here) — bench/prediction paths, not training
+# autodiff.  Opt-in, like the other speed knobs.
+PALLAS_BASE = os.environ.get("GPC_TPU_PALLAS_BASE", "0") == "1"
+
 
 def _mm(a, b, transpose_b=False):
     """GEMM with optional bf16-input/f32-accumulation fast path."""
@@ -94,6 +103,9 @@ def cholesky(A, force: bool = False):
     n = A.shape[-1]
     on_tpu = jax.default_backend() != "cpu"
     if A.ndim == 2 and (force or (on_tpu and n > 2 * BASE and n % BASE == 0)):
+        if PALLAS_BASE:
+            L, _inv, _v = _chol_solve_leafinv(A, jnp.zeros((n, 1), A.dtype))
+            return L
         return _chol_recursive(A)
     return jnp.linalg.cholesky(A)
 
@@ -121,6 +133,48 @@ def _chol_solve_recursive(A, b):
     return jnp.concatenate([top, bot], axis=0), jnp.concatenate([v1, v2], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Leaf-inverse (MAGMA dtrtri) fast path: GPC_TPU_PALLAS_BASE=1
+# ---------------------------------------------------------------------------
+
+def _leaf_interpret():
+    import jax
+    return jax.default_backend() == "cpu"  # Pallas interpret mode off-TPU
+
+
+def _solve_rt_leafinv(B, L, inv):
+    """X·Lᵀ = B with `inv` the nested tuple of leaf-block inverses of L."""
+    n = L.shape[0]
+    if n <= BASE:
+        return _mm(B, inv, transpose_b=True)  # X = B·L⁻ᵀ
+    h = n // 2
+    X1 = _solve_rt_leafinv(B[:, :h], L[:h, :h], inv[0])
+    X2 = _solve_rt_leafinv(B[:, h:] - _mm(X1, L[h:, :h], transpose_b=True),
+                           L[h:, h:], inv[1])
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _chol_solve_leafinv(A, b):
+    """Fused (L, leaf-inverse tree, v = L⁻¹b) recursion — as
+    `_chol_solve_recursive` but every leaf factorization emits its inverse
+    so all triangular solves (panel and RHS) run as GEMMs."""
+    from gpc_tpu.ops.chol_pallas import chol_inv_block
+
+    n = A.shape[0]
+    if n <= BASE:
+        L, M = chol_inv_block(A, interpret=_leaf_interpret())
+        return L, M, _mm(M, b)
+    h = n // 2
+    L11, inv1, v1 = _chol_solve_leafinv(A[:h, :h], b[:h])
+    L21 = _solve_rt_leafinv(A[h:, :h], L11, inv1)
+    L22, inv2, v2 = _chol_solve_leafinv(
+        A[h:, h:] - _mm(L21, L21, transpose_b=True), b[h:] - _mm(L21, v1))
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return (jnp.concatenate([top, bot], axis=0), (inv1, inv2),
+            jnp.concatenate([v1, v2], axis=0))
+
+
 def evidence_fused(K, m, force: bool = False):
     """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ, L) in one fused blocked sweep — the hot block
     of CGp::logLikelihood (CGp.cpp:920-937) without a separate solve pass."""
@@ -129,7 +183,10 @@ def evidence_fused(K, m, force: bool = False):
     n = K.shape[-1]
     on_tpu = jax.default_backend() != "cpu"
     if force or (on_tpu and n > 2 * BASE and n % BASE == 0):
-        L, v = _chol_solve_recursive(K, m)
+        if PALLAS_BASE:
+            L, _inv, v = _chol_solve_leafinv(K, m)
+        else:
+            L, v = _chol_solve_recursive(K, m)
     else:
         L = jnp.linalg.cholesky(K)
         v = solve_triangular(L, m, lower=True)

@@ -84,3 +84,89 @@ def chol_block(A, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, n), A.dtype),
         interpret=interpret,
     )(A)
+
+
+def _inv_body(n):
+    """One forward-substitution row step of M = L⁻¹ (masked, all 2-D).
+
+    Row i: M[i, :] = (e_i − L[i, :i]·M[:i, :]) / L[i, i].  Since M[k, j] = 0
+    for j > k and the sum only touches k < i, the result is automatically
+    lower-triangular — no extra masking of the output row is needed.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def body(i, LM):
+        L, M = LM
+        lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0, keepdims=True)
+        lrow_lo = jnp.where(cols_r < i, lrow, 0.0)            # L[i, :i]
+        contrib = jnp.sum(jnp.transpose(lrow_lo) * M, axis=0,
+                          keepdims=True)                      # (1, n)
+        pivot = jnp.sum(jnp.where(cols_r == i, lrow, 0.0),
+                        keepdims=True)                        # (1, 1)
+        ei = (cols_r == i).astype(L.dtype)
+        mrow = (ei - contrib) / pivot
+        M = M + jnp.where(rows_c == i, mrow, 0.0)
+        return L, M
+
+    return body
+
+
+def _chol_inv_kernel(n, a_ref, l_ref, m_ref):
+    A = a_ref[:]
+    col_step = _chol_body(n)
+
+    def outer(i, A):
+        j0 = i * UNROLL
+        for c in range(UNROLL):
+            A = col_step(j0 + c, A)
+        return A
+
+    A = jax.lax.fori_loop(0, n // UNROLL, outer, A)
+    for j in range(n - (n % UNROLL), n):
+        A = col_step(j, A)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    L = jnp.where(cols <= rows, A, 0.0)
+
+    row_step = _inv_body(n)
+
+    def outer_inv(i, LM):
+        j0 = i * UNROLL
+        for c in range(UNROLL):
+            LM = row_step(j0 + c, LM)
+        return LM
+
+    LM = jax.lax.fori_loop(0, n // UNROLL, outer_inv,
+                           (L, jnp.zeros((n, n), A.dtype)))
+    for j in range(n - (n % UNROLL), n):
+        LM = row_step(j, LM)
+    L, M = LM
+    l_ref[:] = L
+    m_ref[:] = M
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_block(A, interpret: bool = False):
+    """(L, L⁻¹) of one VMEM-resident PD block in a single kernel.
+
+    The explicit triangular inverse is the MAGMA dtrtri trick: with M = L⁻¹ on
+    hand, every panel solve in the blocked factorization becomes a pure GEMM
+    on the MXU instead of an XLA triangular_solve (which has a ~ms floor per
+    call on TPU regardless of size).  Leaf blocks of a jittered kernel matrix
+    are well-conditioned (diag ≈ var + noise), so the explicit inverse is safe
+    in f32 — and the reference itself builds explicit inverses via dpotri
+    (CMatrix.cpp:421-442).
+    """
+    n = A.shape[0]
+    if not _HAVE_PALLAS:
+        L = jnp.linalg.cholesky(A)
+        from jax.scipy.linalg import solve_triangular
+        return L, solve_triangular(L, jnp.eye(n, dtype=A.dtype), lower=True)
+    return pl.pallas_call(
+        functools.partial(_chol_inv_kernel, n),
+        out_shape=(jax.ShapeDtypeStruct((n, n), A.dtype),
+                   jax.ShapeDtypeStruct((n, n), A.dtype)),
+        interpret=interpret,
+    )(A)

@@ -161,3 +161,13 @@ def test_sinc_acceptance():
     assert abs(got["rbfvariance"] - 0.0751) / 0.0751 < 0.10, got
     assert got["biasvariance"] < 1e-3, got
     assert abs(got["whitevariance"] - 2.04e-3) / 2.04e-3 < 0.15, got
+
+
+def test_optimise_verbose_runs_checkgrad(capsys):
+    # verbosity>2 with <40 params auto-runs the finite-difference gradient
+    # check before optimizing (CGp::optimise, CGp.cpp:1544-1545)
+    X, y = _toy(N=12, q=1, D=1)
+    model = GP(_default_kern(1), X, y, centre=True)
+    model.optimise(iters=2, verbose=3)
+    out = capsys.readouterr().out
+    assert "Largest difference" in out

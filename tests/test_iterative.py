@@ -161,12 +161,16 @@ def test_trainable_nlml_descends_dense_objective():
     nlml = make_iterative_nlml(kern, X, m, jax.random.PRNGKey(1), block=128,
                                probes=16, lanczos_iters=25, cg_iters=300,
                                trace_probes=16)
-    # positivity-preserving: step in log-parameter space
+    # positivity-preserving: step in log-parameter space, with gradient-norm
+    # clipping — raw GD at any fixed lr diverges on this objective even with
+    # EXACT dense gradients (the white-noise log-gradient exceeds 500 near the
+    # start), so the stability guard is about GD, not about the estimator
     logp = jnp.log(p0)
     vag = jax.jit(jax.value_and_grad(lambda lp: nlml(jnp.exp(lp))))
     start = float(dense_nlml(jnp.exp(logp)))
     for _ in range(25):
         _, g = vag(logp)
+        g = g * jnp.minimum(1.0, 5.0 / (jnp.linalg.norm(g) + 1e-12))
         logp = logp - 0.02 * g
     end = float(dense_nlml(jnp.exp(logp)))
     assert end < start - 1.0, (start, end)
