@@ -1,7 +1,8 @@
 """`gp` command-line tool: GP regression (counterpart of gp.cpp).
 
-Commands: learn / relearn / display / gnuplot (gp.cpp:42-47; test/predict/
-log-likelihood are commented out in the reference).  Usage:
+Commands: learn / relearn / display / gnuplot, plus test / predict /
+log-likelihood (declared but commented out in the reference, gp.cpp:42-47 —
+provided here as a working superset with ivm-command semantics).  Usage:
 
     python -m gpc_tpu.cli.gp [-v verbosity] [-s seed] learn [options] data.svml [model]
 """
@@ -24,6 +25,9 @@ def _help():
           "  gp relearn [options] data.svml model    continue training\n"
           "  gp display [model]                      show a stored model\n"
           "  gp gnuplot [options] data.svml [model] [name]  plot artifacts\n"
+          "  gp test data.svml [model]               MSE against targets\n"
+          "  gp predict data.svml [model] [out]      posterior means to file\n"
+          "  gp log-likelihood data.svml [model]     marginal likelihood\n"
           "Learn options: -C centre (1) -S scale (0) -L learn-scales (0)\n"
           "  -A ftc|dtc|dtcvar|fitc  -a active-set-size  -k kernel (rbf|lin|mlp|poly|exp|ratquad)\n"
           "  -g gamma -v variance -w weight-var -b bias-var -d degree -i input-select\n"
@@ -137,6 +141,48 @@ def display(cl: CommandLine):
     print(model.display())
 
 
+def _load_model_and_data(cl, default_model="gp_model"):
+    """Re-attach the given data to a stored model, as gnuplot/relearn do
+    (readGpFromFile re-attaches py/pX, gp.cpp:620-622)."""
+    data_file = cl.current()
+    model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else default_model
+    X, y = load_data(data_file, cl.file_format)
+    model = model_io.read_gp(model_file, X=X, y=y)
+    if model.spec.input_dim != X.shape[1]:
+        raise ExitError(f"{data_file}: input data is not of correct dimension")
+    return model, X, y
+
+
+def test_cmd(cl: CommandLine):
+    """Superset command: declared but commented out in the reference gp
+    (gp.cpp:42-47); semantics follow ivm's test (CNoise::test MSE print,
+    CNoise.cpp:464-473)."""
+    cl.advance()
+    model, X, y = _load_model_and_data(cl)
+    mu, _ = model.predict(X)
+    mse = np.mean((np.asarray(y) - np.asarray(mu)) ** 2, axis=0)
+    for j, v in enumerate(np.atleast_1d(mse)):
+        print(f"Mean Squared Error on output {j + 1}: {float(v)}")
+
+
+def predict_cmd(cl: CommandLine):
+    """Superset command (gp.cpp:42-47): posterior means at the data inputs,
+    written unheaded like ivm predict."""
+    cl.advance()
+    model, X, _ = _load_model_and_data(cl)
+    pred_file = cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv) else "gp_predictions"
+    mu, _ = model.predict(X)
+    write_unheaded(pred_file, np.asarray(mu))
+
+
+def log_likelihood_cmd(cl: CommandLine):
+    """Superset command (gp.cpp:42-47): marginal log likelihood of the stored
+    hyperparameters on the given data."""
+    cl.advance()
+    model, _, _ = _load_model_and_data(cl)
+    print(f"Model log likelihood: {model.log_likelihood()}")
+
+
 def gnuplot(cl: CommandLine):
     """Emit plot artifacts (gp.cpp:567-906): 1-D line + ±2σ error bars, 2-D mesh,
     scatter data, active-set points; plus the driving gnuplot script."""
@@ -219,7 +265,9 @@ def gnuplot(cl: CommandLine):
             f.write("pause -1")
 
 
-COMMANDS = {"learn": learn, "relearn": relearn, "display": display, "gnuplot": gnuplot}
+COMMANDS = {"learn": learn, "relearn": relearn, "display": display,
+            "gnuplot": gnuplot, "test": test_cmd, "predict": predict_cmd,
+            "log-likelihood": log_likelihood_cmd}
 
 
 def main(argv=None):
