@@ -101,8 +101,10 @@ def _inv_body(n):
         L, M = LM
         lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0, keepdims=True)
         lrow_lo = jnp.where(cols_r < i, lrow, 0.0)            # L[i, :i]
-        contrib = jnp.sum(jnp.transpose(lrow_lo) * M, axis=0,
-                          keepdims=True)                      # (1, n)
+        # (1,n)·(n,n) on the MXU — a (n,1)↔(1,n) transpose relayout here is
+        # rejected/miscompiled by Mosaic (non-finite output on v5e)
+        contrib = jax.lax.dot_general(lrow_lo, M, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=L.dtype)
         pivot = jnp.sum(jnp.where(cols_r == i, lrow, 0.0),
                         keepdims=True)                        # (1, 1)
         ei = (cols_r == i).astype(L.dtype)
