@@ -15,4 +15,18 @@ on-device, and hyperparameter gradients come from `jax.grad`.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# TPU f32 matmuls lower to single-pass bf16 under XLA's DEFAULT precision —
+# ~4e-3 relative error, which breaks positive-definiteness in Cholesky-heavy
+# GP algebra (trailing Schur updates drift past the noise ridge at N≳10k and
+# the factor goes NaN).  A GP library must default to numerically trustworthy
+# GEMMs: "high" (bf16_3x, ≈f32 quality at ~3 MXU passes).  Opt back into raw
+# speed per-op (explicit bf16 casts, GPC_TPU_BF16_CHOL) or globally via env.
+_prec = _os.environ.get("GPC_TPU_MATMUL_PRECISION", "high")
+if _prec != "unset":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from gpc_tpu import ndlutil, transforms, priors, linalg  # noqa: F401

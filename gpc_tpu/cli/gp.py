@@ -29,7 +29,7 @@ def _help():
           "  gp predict data.svml [model] [out]      posterior means to file\n"
           "  gp log-likelihood data.svml [model]     marginal likelihood\n"
           "Learn options: -C centre (1) -S scale (0) -L learn-scales (0)\n"
-          "  -A ftc|dtc|dtcvar|fitc  -a active-set-size  -k kernel (rbf|lin|mlp|poly|exp|ratquad)\n"
+          "  -A ftc|dtc|dtcvar|fitc|pitc  -a active-set-size  -k kernel (rbf|lin|mlp|poly|exp|ratquad)\n"
           "  -g gamma -v variance -w weight-var -b bias-var -d degree -i input-select\n"
           "  -O scg|conjgrad|graddesc  -# iters  -f format")
 
@@ -77,10 +77,11 @@ def learn(cl: CommandLine):
 
     if approx == "ftc":
         active = 0
-    elif approx == "fitc":
-        raise ExitError("FITC Approximation currently not working.")
-    elif approx == "pitc":
-        raise ExitError("PITC not yet implemented.")
+    elif approx in ("fitc", "pitc"):
+        # superset: the reference CLI blocks FITC ("currently not working",
+        # gp.cpp:363-366) and PITC is stubbed (CGp.cpp:862-871) — both are
+        # implemented and tested here (models/gp.py, test_gp.py).
+        pass
     elif approx == "dtcvar":
         print("Warning: numerical stabilities exist in DTCVAR approximation.")
     elif approx != "dtc":

@@ -36,8 +36,8 @@ from gpc_tpu.kernels import Kern
 from gpc_tpu.optim.scg import scg
 from gpc_tpu.optim import run_optimiser
 
-FTC, DTC, DTCVAR, FITC = "ftc", "dtc", "dtcvar", "fitc"
-_SPARSE = (DTC, DTCVAR, FITC)
+FTC, DTC, DTCVAR, FITC, PITC = "ftc", "dtc", "dtcvar", "fitc", "pitc"
+_SPARSE = (DTC, DTCVAR, FITC, PITC)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,10 +52,15 @@ class GpSpec:
     num_active: int = 0
     learn_scales: bool = False      # isOutputScaleLearnt
     inducing_fixed: bool = False
+    pitc_block: int = 0             # PITC block size; 0 → num_active
 
     @property
     def sparse(self) -> bool:
         return self.approx in _SPARSE
+
+    @property
+    def block_size(self) -> int:
+        return self.pitc_block if self.pitc_block > 0 else max(self.num_active, 1)
 
     # --- parameter vector layout (CGp.cpp:330-385) -------------------------
     def n_params(self) -> int:
@@ -149,6 +154,47 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
                 diagQ = jnp.sum(V * K_uf, axis=0)
                 diagD = beta * (diagK - diagQ)
                 Lacc = Lacc + D * jnp.sum(diagD)
+        elif spec.approx == PITC:
+            # PITC — *stubbed in the reference* (CGp.cpp:862-871 throws): the
+            # block-diagonal member of the Quiñonero-Candela/Rasmussen family.
+            # Generalizes the FITC path: the correction D = blockdiag(I +
+            # β·(K_bb − Q_bb)) replaces FITC's diagonal, all block algebra
+            # batched over the leading P axis (vmapped Gram + batched
+            # triangular solves — MXU-friendly uniform shapes, ragged tail
+            # handled by identity padding).
+            Bp = spec.block_size
+            P = -(-N // Bp)
+            pad = P * Bp - N
+            q = spec.input_dim
+            Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
+            Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
+                Xp.reshape(P, Bp, q))                      # (P, Bp, Bp)
+            Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
+            V0 = linalg.tri_solve(L_uu, Kuf_p)             # L_uu⁻¹K_uf (M, P·Bp)
+            Vb = V0.reshape(M, P, Bp)
+            Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
+            Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
+            valid = (jnp.arange(P * Bp) < N).reshape(P, Bp)
+            vmask = valid[:, :, None] & valid[:, None, :]
+            Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
+            Cb = jnp.linalg.cholesky(Db)                   # batched (P,Bp,Bp)
+            from jax.scipy.linalg import solve_triangular as _st
+            m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, D)
+            sMb = _st(Cb, m_p, lower=True)                 # C_b⁻¹ m_b
+            Vt = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # (P,Bp,M)
+            Am = jnp.eye(M, dtype=Vt.dtype) / beta + jnp.einsum(
+                "pbm,pbn->mn", Vt, Vt)
+            L_m, _ = linalg.jitchol(Am)
+            bet = linalg.tri_solve(L_m, jnp.einsum("pbm,pbd->md", Vt, sMb))
+            # no reference quirk to match here (the C++ throws), so unlike the
+            # FITC branch there is NO extra N·log2π — the global
+            # −D·N·½log2π below is the correct (and only) constant.
+            Lacc = (M - N) * jnp.log(beta)
+            Lacc = Lacc + 2.0 * jnp.sum(jnp.log(
+                jnp.diagonal(Cb, axis1=1, axis2=2)))       # Σ_b logdet D_b
+            Lacc = Lacc + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_m)))
+            Lacc = Lacc * D
+            Lacc = Lacc + beta * (jnp.sum(sMb * sMb) - jnp.sum(bet * bet))
         else:  # FITC (CGp.cpp:806-858, 962-988)
             diagK = spec.kern.diag(kp, X)
             V0 = linalg.chol_solve(L_uu, K_uf)
@@ -224,6 +270,33 @@ def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
             Dinv = 1.0 / diagD
             A = K_uu / beta + (K_uf * Dinv[None, :]) @ K_uf.T
             rhs = K_uf @ (m * Dinv[:, None])
+        elif spec.approx == PITC:
+            # block-diagonal D⁻¹ applied via batched Cholesky solves; a test
+            # point forms its own block, so mean/var take the FITC form with
+            # PITC's A (Quiñonero-Candela & Rasmussen 2005, eq. 24-25).
+            M_, N_ = K_uf.shape
+            Bp = spec.block_size
+            P = -(-N_ // Bp)
+            pad = P * Bp - N_
+            q = spec.input_dim
+            Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
+            Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
+                Xp.reshape(P, Bp, q))
+            Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
+            Vb = linalg.tri_solve(L_uu, Kuf_p).reshape(M_, P, Bp)
+            Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
+            Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
+            valid = (jnp.arange(P * Bp) < N_).reshape(P, Bp)
+            vmask = valid[:, :, None] & valid[:, None, :]
+            Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
+            Cb = jnp.linalg.cholesky(Db)
+            from jax.scipy.linalg import solve_triangular as _st
+            Kub = jnp.transpose(Kuf_p.reshape(M_, P, Bp), (1, 2, 0))  # (P,Bp,M)
+            Wb = _st(Cb, Kub, lower=True)                  # C_b⁻¹ K_bu
+            A = K_uu / beta + jnp.einsum("pbm,pbn->mn", Wb, Wb)
+            m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
+            sMb = _st(Cb, m_p, lower=True)
+            rhs = jnp.einsum("pbm,pbd->md", Wb, sMb)
         else:
             A = K_uu / beta + K_uf @ K_uf.T
             rhs = K_uf @ m
@@ -258,7 +331,8 @@ class GP:
     def __init__(self, kern: Kern, X, y, approx: str = FTC, num_active: int = 0,
                  learn_scales: bool = False, centre: bool = True,
                  scale_data: bool = False, beta: float = 1.0,
-                 seed: Optional[int] = None, inducing_fixed: bool = False):
+                 seed: Optional[int] = None, inducing_fixed: bool = False,
+                 pitc_block: int = 0):
         X = np.asarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         self.X, self.y = X, y
@@ -267,7 +341,8 @@ class GP:
         self.spec = GpSpec(kern=kern, n_data=N, input_dim=q, output_dim=D,
                            approx=approx, num_active=num_active,
                            learn_scales=learn_scales,
-                           inducing_fixed=inducing_fixed)
+                           inducing_fixed=inducing_fixed,
+                           pitc_block=pitc_block)
         self.bias = y.mean(axis=0) if centre else np.zeros(D)
         self.fixed_scales = y.std(axis=0, ddof=1) if scale_data else np.ones(D)
 

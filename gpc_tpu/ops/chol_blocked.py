@@ -43,13 +43,29 @@ BF16_UPDATES = os.environ.get("GPC_TPU_BF16_CHOL", "0") == "1"
 PALLAS_BASE = os.environ.get("GPC_TPU_PALLAS_BASE", "0") == "1"
 
 
+# TPU matmul precision for the f32 update GEMMs.  XLA's DEFAULT lowers f32
+# dots to single-pass bf16 on TPU — relative errors ~4e-3 per trailing Schur
+# update, which EXCEEDS a typical GP noise ridge (1e-2) at N=16k scale and
+# makes the factorization silently non-PD (NaN factor).  HIGH (bf16_3x,
+# ~f32-quality error at ~3× bf16 cost) is the correct default for a Cholesky;
+# HIGHEST (full f32, 6 passes) available for the cautious, DEFAULT for speed
+# measurements only.
+_PRECISION = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[os.environ.get("GPC_TPU_CHOL_PRECISION", "high")]
+
+
 def _mm(a, b, transpose_b=False):
     """GEMM with optional bf16-input/f32-accumulation fast path."""
     dims = (((1,), (1,)), ((), ())) if transpose_b else (((1,), (0,)), ((), ()))
     if BF16_UPDATES and a.dtype == jnp.float32:
         return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                                dims, preferred_element_type=jnp.float32)
-    return lax.dot_general(a, b, dims, preferred_element_type=a.dtype)
+    prec = _PRECISION if a.dtype == jnp.float32 else lax.Precision.HIGHEST
+    return lax.dot_general(a, b, dims, preferred_element_type=a.dtype,
+                           precision=prec)
 
 
 def _tri_solve_rt(B, L):

@@ -1,0 +1,109 @@
+"""Lazy-Gram fused Cholesky evidence: K tiles materialize inside the recursion.
+
+The bench pipeline (and CGp::logLikelihood's hot block, CGp.cpp:920-937) is
+    K = kernel-Gram(X);  L = chol(K + noise·I);  logdet + ‖L⁻¹m‖².
+Materializing K first costs a full N² HBM write + read (~1 GB at N=16k f32,
+~12 ms of a ~55 ms pipeline) before the factorization even starts.  But the
+blocked right-looking recursion (ops/chol_blocked.py) reads every *raw* K
+element exactly once — diagonal blocks when their sub-factorization starts,
+off-diagonal panels when their triangular solve runs.  So instead of a dense
+K we pass a *block thunk* `kfn(i0, j0, bi, bj) -> K-block` and let each block
+materialize at its point of first use; XLA fuses the distance map + covariance
+elementwise chain straight into the consuming GEMM/solve, and the separate
+Gram pass (with its HBM round-trip) disappears from the schedule.
+
+The log-determinant is accumulated from leaf diagonals during the recursion,
+so when the caller needs only (logdet, quad) the full assembled L is dead code
+and XLA elides its O(N²) final concatenation too.
+
+Forward-only fast path (bench/prediction); parity/training paths keep the
+dense differentiable route in models/gp.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from gpc_tpu.ops.chol_blocked import BASE, _base_chol, _mm, _tri_solve_rt
+
+
+def _chol_solve_lazy(kfn, i0, n, b, A):
+    """Fused chol + forward-solve over a lazily materialized SPD matrix.
+
+    kfn(i0, j0, bi, bj) returns the raw K block at static offsets; `A` is the
+    concrete trailing matrix once updates have touched it (None while raw).
+    Returns (L, v = L⁻¹b, Σ log diag L).
+    """
+    if n <= BASE:
+        Ablk = kfn(i0, i0, n, n) if A is None else A
+        L = _base_chol(Ablk)
+        return L, solve_triangular(L, b, lower=True), jnp.sum(
+            jnp.log(jnp.diagonal(L)))
+    h = n // 2
+    if A is None:
+        A11 = A22 = None
+        A21 = kfn(i0 + h, i0, h, h)
+    else:
+        A11, A21, A22 = A[:h, :h], A[h:, :h], A[h:, h:]
+    L11, v1, ld1 = _chol_solve_lazy(kfn, i0, h, b[:h], A11)
+    L21 = _tri_solve_rt(A21, L11)
+    A22c = (kfn(i0 + h, i0 + h, h, h) if A22 is None else A22)
+    L22, v2, ld2 = _chol_solve_lazy(
+        kfn, i0 + h, h, b[h:] - _mm(L21, v1),
+        A22c - _mm(L21, L21, transpose_b=True))
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), L11.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return (jnp.concatenate([top, bot], axis=0),
+            jnp.concatenate([v1, v2], axis=0), ld1 + ld2)
+
+
+def evidence_fused_lazy(kfn, n, m):
+    """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) without ever materializing K (or L, if the
+    caller drops it) as one dense array."""
+    L, v, logdiag = _chol_solve_lazy(kfn, 0, n, m, None)
+    return 2.0 * logdiag, jnp.sum(v * v), L
+
+
+def rbf_block_fn(X, inv_width, variance, noise):
+    """Block thunk for the RBF Gram + noise·I — the bench kernel.
+
+    Diagonal elements only ever appear in blocks with i0 == j0 (the recursion
+    splits diagonally), so the noise ridge is added there alone.
+    """
+    n2 = jnp.sum(X * X, axis=1)
+
+    def kfn(i0, j0, bi, bj):
+        Xi = lax.slice(X, (i0, 0), (i0 + bi, X.shape[1]))
+        Xj = lax.slice(X, (j0, 0), (j0 + bj, X.shape[1]))
+        d2 = jnp.maximum(
+            n2[i0:i0 + bi, None] + n2[None, j0:j0 + bj]
+            - 2.0 * _mm(Xi, Xj, transpose_b=True), 0.0)
+        K = variance * jnp.exp(-0.5 * inv_width * d2)
+        if i0 == j0:
+            K = K + noise * jnp.eye(bi, dtype=K.dtype)
+        return K
+
+    return kfn
+
+
+def rbf_evidence_lazy(X, m, inv_width, variance, noise, force=False):
+    """logdet + quad for K = rbf(X) + noise·I, Gram tiles fused into the
+    factorization schedule.  Falls back to the dense fused sweep when the
+    size doesn't split cleanly (or off-TPU, unless forced by tests)."""
+    n = X.shape[0]
+    on_tpu = jax.default_backend() != "cpu"
+    if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
+        kfn = rbf_block_fn(X, inv_width, variance, noise)
+        logdet, quad, _L = evidence_fused_lazy(kfn, n, m)
+        return logdet, quad
+    from gpc_tpu.ops.chol_blocked import evidence_fused
+    d2 = jnp.maximum(
+        jnp.sum(X * X, 1)[:, None] + jnp.sum(X * X, 1)[None, :]
+        - 2.0 * (X @ X.T), 0.0)
+    K = variance * jnp.exp(-0.5 * inv_width * d2) + noise * jnp.eye(
+        n, dtype=X.dtype)
+    logdet, quad, _L = evidence_fused(K, m, force=force)
+    return logdet, quad
