@@ -75,16 +75,16 @@ def main():
 
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from gpc_tpu.ops.chol_blocked import evidence_fused
+    from gpc_tpu.ops.lazy_evidence import evidence_fused_left, rbf_block_fn
 
     def evidence(X, m):
-        n2 = jnp.sum(X * X, axis=1, keepdims=True)
-        d2 = jnp.maximum(n2 + n2.T - 2.0 * (X @ X.T), 0.0)
-        K = variance * jnp.exp(-0.5 * inv_width * d2)
-        K = K + noise * jnp.eye(N, dtype=dtype)
-        # fused blocked chol + forward solve (~2x XLA's TPU cholesky; no
-        # separate latency-bound triangular_solve pass)
-        logdet, quad, _L = evidence_fused(K, m)
+        # fully lazy Gram→Cholesky fusion: K tiles materialize inside the
+        # left-looking blocked factor+solve recursion (lower triangle only —
+        # half the Gram element work, no standalone N² HBM pass) — measured
+        # 1.21x the dense materialize-then-factor pipeline at N=16k
+        # (tools/tpu_lazy_timing.py: 65.1 vs 78.6 ms, same session)
+        kfn = rbf_block_fn(X, inv_width, variance, noise)
+        logdet, quad, _L = evidence_fused_left(kfn, N, m)
         return quad + logdet
 
     @jax.jit

@@ -89,6 +89,81 @@ def rbf_block_fn(X, inv_width, variance, noise):
     return kfn
 
 
+def _chol_solve_left(kfn, n, b, corr=()):
+    """Fully lazy (left-looking) variant of `_chol_solve_lazy`: trailing Schur
+    corrections are COMPOSED into the block thunk instead of materializing the
+    updated trailing matrix, so only lower-triangle blocks of the working
+    matrix ever exist — half the raw-Gram element work, at the cost of
+    splitting each big trailing syrk into per-descendant panel GEMMs (same
+    total FLOPs, smaller shapes).  `corr` is a tuple of ancestor L21 panels;
+    block (i0, j0) of the current submatrix equals
+        kfn(i0, j0) − Σ_P P[i0:, :]·P[j0:, :]ᵀ.
+    All offsets are trace-time constants (recursion unrolled)."""
+
+    def block(i0, j0, bi, bj):
+        A = kfn(i0, j0, bi, bj)
+        for P in corr:
+            A = A - _mm(P[i0:i0 + bi], P[j0:j0 + bj], transpose_b=True)
+        return A
+
+    if n <= BASE:
+        L = _base_chol(block(0, 0, n, n))
+        return L, solve_triangular(L, b, lower=True), jnp.sum(
+            jnp.log(jnp.diagonal(L)))
+    h = n // 2
+    L11, v1, ld1 = _chol_solve_left(kfn, h, b[:h], corr)
+    L21 = _tri_solve_rt(block(h, 0, n - h, h), L11)
+    kfn22 = lambda i0, j0, bi, bj: kfn(h + i0, h + j0, bi, bj)
+    corr22 = tuple(P[h:] for P in corr) + (L21,)
+    L22, v2, ld2 = _chol_solve_left(kfn22, n - h, b[h:] - _mm(L21, v1), corr22)
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), L11.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return (jnp.concatenate([top, bot], axis=0),
+            jnp.concatenate([v1, v2], axis=0), ld1 + ld2)
+
+
+def evidence_fused_left(kfn, n, m):
+    """As `evidence_fused_lazy` but via the fully lazy left-looking recursion
+    (no trailing-matrix materialization at all)."""
+    L, v, logdiag = _chol_solve_left(kfn, n, m)
+    return 2.0 * logdiag, jnp.sum(v * v), L
+
+
+def kern_block_fn(kern, p, X, ridge=0.0):
+    """Block thunk for ANY kernel-DSL covariance (kernels.py): K-blocks come
+    from the kernel's vectorized tile compute (white-free off the diagonal,
+    CKern.cpp:695-728 discipline), with the white variance + an optional
+    extra ridge added on diagonal blocks only.  Lets `evidence_fused_lazy` /
+    `evidence_fused_left` serve the whole kernel zoo, not just RBF."""
+    shift = kern.white(p) + ridge
+
+    def kfn(i0, j0, bi, bj):
+        Xi = lax.slice(X, (i0, 0), (i0 + bi, X.shape[1]))
+        Xj = lax.slice(X, (j0, 0), (j0 + bj, X.shape[1]))
+        K = kern.compute(p, Xi, Xj)
+        if i0 == j0:
+            K = K + shift * jnp.eye(bi, dtype=K.dtype)
+        return K
+
+    return kfn
+
+
+def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
+    """(logdet, quad) for K = kern(X) + ridge·I with Gram tiles fused into
+    the factorization — the general-kernel version of `rbf_evidence_lazy`."""
+    n = X.shape[0]
+    on_tpu = jax.default_backend() != "cpu"
+    if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
+        kfn = kern_block_fn(kern, p, X, ridge)
+        logdet, quad, _L = evidence_fused_left(kfn, n, m)
+        return logdet, quad
+    from gpc_tpu.ops.chol_blocked import evidence_fused
+    K = kern.compute(p, X, X) + (kern.white(p) + ridge) * jnp.eye(
+        n, dtype=X.dtype)
+    logdet, quad, _L = evidence_fused(K, m, force=force)
+    return logdet, quad
+
+
 def rbf_evidence_lazy(X, m, inv_width, variance, noise, force=False):
     """logdet + quad for K = rbf(X) + noise·I, Gram tiles fused into the
     factorization schedule.  Falls back to the dense fused sweep when the
@@ -97,7 +172,9 @@ def rbf_evidence_lazy(X, m, inv_width, variance, noise, force=False):
     on_tpu = jax.default_backend() != "cpu"
     if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
         kfn = rbf_block_fn(X, inv_width, variance, noise)
-        logdet, quad, _L = evidence_fused_lazy(kfn, n, m)
+        # left-looking (fully lazy) measured fastest at N=16k:
+        # 65.1 ms vs 71.9 (right-looking lazy) vs 78.6 (dense) per evaluation
+        logdet, quad, _L = evidence_fused_left(kfn, n, m)
         return logdet, quad
     from gpc_tpu.ops.chol_blocked import evidence_fused
     d2 = jnp.maximum(

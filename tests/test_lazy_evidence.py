@@ -55,3 +55,44 @@ def test_lazy_diagonal_blocks_only_get_ridge():
     assert np.allclose(np.diag(np.asarray(blk)), 1.0 + 0.5)
     off = kfn(512, 256, 256, 256)
     assert float(jnp.max(jnp.abs(jnp.diagonal(off)))) < 1.0  # no ridge added
+
+
+def test_left_looking_matches_dense():
+    # fully lazy variant: trailing corrections composed into the block thunk
+    from gpc_tpu.ops.lazy_evidence import evidence_fused_left
+
+    rng = np.random.default_rng(3)
+    n, q, d = 768, 4, 2  # non-power-of-two multiple of BASE
+    X = rng.standard_normal((n, q))
+    m = rng.standard_normal((n, d))
+    iw, var, noise = 0.5, 1.2, 5e-2
+    want_ld, want_quad, K = _dense_reference(X, m, iw, var, noise)
+    kfn = rbf_block_fn(jnp.asarray(X), iw, var, noise)
+    ld, quad, L = evidence_fused_left(kfn, n, jnp.asarray(m))
+    assert abs(float(ld) - want_ld) < 1e-8 * abs(want_ld)
+    assert abs(float(quad) - want_quad) < 1e-8 * abs(want_quad)
+    Lnp = np.asarray(L)
+    assert np.allclose(Lnp @ Lnp.T, K, atol=1e-9)
+    assert np.allclose(np.triu(Lnp, 1), 0.0)
+
+
+def test_kern_block_fn_general_kernel():
+    # compound kernel (rbf+matern52+bias+white): lazy evidence ≡ dense compute
+    from gpc_tpu import kernels as K
+    from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
+
+    rng = np.random.default_rng(4)
+    n, q, d = 768, 3, 2
+    X = jnp.asarray(rng.standard_normal((n, q)))
+    m = jnp.asarray(rng.standard_normal((n, d)))
+    kern = K.Cmpnd(input_dim=q, components=(
+        K.Rbf(input_dim=q), K.Matern52(input_dim=q), K.Bias(input_dim=q),
+        K.White(input_dim=q)))
+    p = jnp.asarray(kern.default_params())
+    Kd = np.asarray(kern.compute(p, X, X)) + float(kern.white(p)) * np.eye(n)
+    L = np.linalg.cholesky(Kd)
+    want_ld = 2.0 * np.sum(np.log(np.diag(L)))
+    want_quad = float(np.sum(np.linalg.solve(L, np.asarray(m)) ** 2))
+    ld, quad = kern_evidence_lazy(kern, p, X, m, force=True)
+    assert abs(float(ld) - want_ld) < 1e-8 * abs(want_ld)
+    assert abs(float(quad) - want_quad) < 1e-8 * abs(want_quad)

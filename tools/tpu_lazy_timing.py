@@ -4,7 +4,11 @@ Within-session comparison only (pool throughput varies run-to-run); prints the
 per-variant ms and the matmul roofline proxy for context.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -47,7 +51,9 @@ def main():
           f"({t_mm*1e3:.2f} ms)")
 
     from gpc_tpu.ops.chol_blocked import evidence_fused
-    from gpc_tpu.ops.lazy_evidence import rbf_evidence_lazy
+    from gpc_tpu.ops.lazy_evidence import (
+        evidence_fused_left, evidence_fused_lazy, rbf_block_fn,
+        rbf_evidence_lazy)
 
     @jax.jit
     def dense(X, m):
@@ -63,12 +69,21 @@ def main():
         logdet, quad = rbf_evidence_lazy(X, m, iw, var, noise)
         return logdet + quad
 
+    @jax.jit
+    def left(X, m):
+        kfn = rbf_block_fn(X, iw, var, noise)
+        logdet, quad, _L = evidence_fused_left(kfn, N, m)
+        return logdet + quad
+
     t_dense = timeit(dense, X, m)
     t_lazy = timeit(lazy, X, m)
+    t_left = timeit(left, X, m)
     flops = 2.0 * N * N * q + N**3 / 3.0 + 2.0 * N * N * D
     print(f"dense: {t_dense*1e3:.1f} ms ({flops/t_dense/1e12:.1f} TFLOP/s)")
     print(f"lazy:  {t_lazy*1e3:.1f} ms ({flops/t_lazy/1e12:.1f} TFLOP/s)")
-    print(f"value check: dense={sync(dense(X, m)):.4f} lazy={sync(lazy(X, m)):.4f}")
+    print(f"left:  {t_left*1e3:.1f} ms ({flops/t_left/1e12:.1f} TFLOP/s)")
+    print(f"value check: dense={sync(dense(X, m)):.4f} "
+          f"lazy={sync(lazy(X, m)):.4f} left={sync(left(X, m)):.4f}")
 
 
 if __name__ == "__main__":
