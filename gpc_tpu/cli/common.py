@@ -32,6 +32,13 @@ def setup_jax():
     the double-precision reference.  (The axon sitecustomize pins
     jax_platforms at interpreter start, so the env var must be applied via
     jax.config after import.)
+
+    A persistent XLA compilation cache makes warm CLI runs compile-free: at
+    reference-tutorial sizes the numeric work is milliseconds and XLA
+    compilation is the entire wall clock (BASELINE.md measured table), so
+    caching is what lets the rebuild beat the single-threaded C++ binaries on
+    their own headline timings.  Override the location with
+    GPC_TPU_CACHE_DIR; GPC_TPU_CACHE_DIR=0 disables.
     """
     import jax
 
@@ -40,6 +47,23 @@ def setup_jax():
         jax.config.update("jax_platforms", plat)
     if plat == "cpu":
         jax.config.update("jax_enable_x64", True)
+    cache = os.environ.get(
+        "GPC_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gpc_tpu", "xla"))
+    if cache and cache != "0":
+        try:
+            # XLA:CPU's AOT loader logs a giant (harmless) machine-feature
+            # diff at ERROR level on every cache hit; keep CLI stderr usable.
+            # Must land before first backend init; user env wins if set.
+            os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            # cache every compile, not just the >1s ones — tutorial-size
+            # programs are small but numerous
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass  # cache is an optimisation, never a failure mode
 
 
 class CommandLine:

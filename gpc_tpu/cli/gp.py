@@ -184,9 +184,81 @@ def log_likelihood_cmd(cl: CommandLine):
     print(f"Model log likelihood: {model.log_likelihood()}")
 
 
+def _gnuplot_classification(model, X, y, name, resolution, point_size,
+                            line_width):
+    """probit/ncnm gp plot branch (gp.cpp:635-750): inducing-set file,
+    per-class scatter files (trailing 0 column), class-one probability grid
+    and the 0.5-decision / 0.25-0.75-contour script.
+
+    The reference leaves the probability fill as a TODO and streams the
+    uninitialized CMatrix (gp.cpp:709 '//TODO need to fill in for
+    classification'); here the grid holds the actual class-one probabilities
+    from the noise model.  The plot script references `name`_active_set.dat
+    exactly as the reference emits it (gp.cpp:745) even though this branch
+    writes the inducing set to `name`_inducing_set.dat (gp.cpp:638) — a
+    faithful reference quirk."""
+    from gpc_tpu.io.model_io import make_noise_from_stream
+
+    if model.spec.sparse:
+        write_unheaded(f"{name}_inducing_set.dat",
+                       np.asarray(model.inducing()))
+    pos = y[:, 0] == 1.0
+    neg = y[:, 0] == -1.0
+    unlab = ~(pos | neg)
+    for mask, tag in ((pos, "positive"), (neg, "negative"),
+                      (unlab, "unlabelled")):
+        if mask.any():
+            write_unheaded(f"{name}_{tag}.dat",
+                           np.hstack([X[mask],
+                                      np.zeros((int(mask.sum()), 1))]))
+    mins, maxs = X.min(0), X.max(0)
+    nx = ny = resolution
+    xs = np.linspace(mins[0], maxs[0], nx)
+    ys = np.linspace(mins[1], maxs[1], ny)
+    XX, YY = np.meshgrid(xs, ys)
+    grid = np.column_stack([XX.ravel(), YY.ravel()])
+    mu, vs = model.predict(grid)
+    noise = make_noise_from_stream(model.noise_type, model.noise_params,
+                                   model.spec.output_dim,
+                                   getattr(model, "noise_extra", {}))
+    ones = np.ones((grid.shape[0], model.spec.output_dim))
+    import jax.numpy as jnp
+    probs = np.asarray(noise.likelihoods(
+        jnp.asarray(model.noise_params), mu, vs, jnp.asarray(ones)))[:, 0]
+    probs = probs.reshape(ny, nx)
+    with open(f"{name}_prob_matrix.dat", "w") as f:
+        f.write("# Prepared plot of model file \n")
+        for i in range(ny):
+            for j in range(nx):
+                f.write(f"{xs[j]:.17e} {ys[i]:.17e} {probs[i, j]:.17e}\n")
+            f.write("\n")
+    with open(f"{name}_plot.gp", "w") as f:
+        f.write("set nosurface\nset contour base\n"
+                "set cntrparam levels discrete 0.5\n"
+                "set term table # set output type to tables\n"
+                f"set out '{name}_decision.dat'\n"
+                f'splot "{name}_prob_matrix.dat"\n'
+                "set cntrparam levels discrete 0.25, 0.75\n"
+                f"set out '{name}_contours.dat'\n"
+                f'splot "{name}_prob_matrix.dat"\n'
+                "reset\nset term x11\nplot ")
+        parts = []
+        if pos.any():
+            parts.append(f'"{name}_positive.dat" with points ps {point_size}')
+        if neg.any():
+            parts.append(f'"{name}_negative.dat" with points ps {point_size}')
+        parts.append(f'"{name}_active_set.dat" with points ps {point_size * 2}')
+        if unlab.any():
+            parts.append(f'"{name}_unlabelled.dat" with points ps {point_size}')
+        parts.append(f'"{name}_decision.dat" with lines lw {line_width}')
+        parts.append(f'"{name}_contours.dat" with lines lw {line_width}')
+        f.write(", ".join(parts) + "\npause -1\n")
+
+
 def gnuplot(cl: CommandLine):
     """Emit plot artifacts (gp.cpp:567-906): 1-D line + ±2σ error bars, 2-D mesh,
-    scatter data, active-set points; plus the driving gnuplot script."""
+    scatter data, active-set points for gaussian noise; probit/ncnm probability
+    grid + contour script for classification models; plus the driving script."""
     cl.advance()
     cl.mode = "gnuplot"
     resolution = 80
@@ -210,8 +282,18 @@ def gnuplot(cl: CommandLine):
     X, y = load_data(data_file, cl.file_format)
     model = model_io.read_gp(model_file, X=X, y=y)
     q = model.spec.input_dim
-    if q > 2:
+    noise_type = getattr(model, "noise_type", "gaussian")
+    # dimension gates, gp.cpp:624-631
+    if noise_type != "gaussian" and q != 2:
         raise ExitError("Incorrect number of model inputs.")
+    if noise_type == "gaussian" and q > 2:
+        raise ExitError("Incorrect number of model inputs.")
+    if X.shape[1] != q:
+        raise ExitError("Incorrect dimension of input data.")
+    if noise_type in ("probit", "ncnm"):
+        _gnuplot_classification(model, X, y, name, resolution, point_size,
+                                line_width)
+        return
     sigma2 = float(model.noise_params[-1]) if getattr(model, "noise_params", None) is not None else 1e-6
 
     if model.spec.sparse:

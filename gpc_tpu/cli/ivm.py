@@ -241,9 +241,63 @@ def display(cl: CommandLine):
     print(model.display())
 
 
+def _gnuplot_regression(model, X, y, name, resolution, point_size, line_width):
+    """Gaussian-noise IVM plot branch (ivm.cpp:1087-1202): active set with
+    target column, scatter data, then a 1-D line + ±1σ error-bar pair or a
+    2-D output-surface matrix, plus the driving script."""
+    idx = np.asarray(model.state.active_idx)
+    write_unheaded(f"{name}_active_set.dat",
+                   np.hstack([model.active_X(), np.asarray(model.y)[idx][:, :1]]))
+    write_unheaded(f"{name}_scatter_data.dat", np.hstack([X, y[:, :1]]))
+    mins, maxs = X.min(0), X.max(0)
+    q = model.spec.input_dim
+    if q == 2:  # ivm.cpp:1108-1156
+        nx = ny = resolution
+        xs = np.linspace(mins[0], maxs[0], nx)
+        ys = np.linspace(mins[1], maxs[1], ny)
+        XX, YY = np.meshgrid(xs, ys)
+        grid = np.column_stack([XX.ravel(), YY.ravel()])
+        mu, vs = model.predict(grid)
+        out = np.asarray(model.spec.noise.out(model.noise_params, mu, vs))
+        out = out[:, 0].reshape(ny, nx)
+        with open(f"{name}_output_matrix.dat", "w") as f:
+            f.write("# Prepared plot of model file \n")
+            for i in range(ny):
+                for j in range(nx):
+                    f.write(f"{xs[j]:.17e} {ys[i]:.17e} {out[i, j]:.17e}\n")
+                f.write("\n")
+        with open(f"{name}_plot.gp", "w") as f:
+            f.write(f'splot "{name}_output_matrix.dat"  with lines lw {line_width}'
+                    f', "{name}_scatter_data.dat" with points ps {point_size}'
+                    f', "{name}_active_set.dat" with points ps {point_size}\n'
+                    "pause -1")
+    elif q == 1:  # ivm.cpp:1157-1202 (note ±1σ bars, unlike gp's ±2σ)
+        xs = np.linspace(mins[0], maxs[0], resolution)
+        mu, vs = model.predict(xs.reshape(-1, 1))
+        out = np.asarray(model.spec.noise.out(model.noise_params, mu, vs))[:, 0]
+        std = np.asarray(model.spec.noise.out_std(model.noise_params, mu, vs))[:, 0]
+        write_unheaded(f"{name}_line_data.dat", np.column_stack([xs, out]))
+        with open(f"{name}_error_bar_data.dat", "w") as f:
+            f.write("# Prepared plot of model file \n")
+            for xv, m, s in zip(xs, out, std):
+                f.write(f"{xv:.17e} {m + s:.17e}\n")
+            f.write("\n")
+            for xv, m, s in zip(xs, out, std):
+                f.write(f"{xv:.17e} {m - s:.17e}\n")
+        with open(f"{name}_plot.gp", "w") as f:
+            f.write(f'plot "{name}_line_data.dat" with lines lw {line_width}'
+                    f', "{name}_scatter_data.dat" with points ps {point_size}'
+                    f', "{name}_active_set.dat" with points ps {point_size}'
+                    f', "{name}_error_bar_data.dat" with lines lw {line_width}\n'
+                    "pause -1")
+    # q > 2: the reference emits only the scatter/active files (falls through
+    # both dimension branches, ivm.cpp:1108/1157)
+
+
 def gnuplot(cl: CommandLine):
     """Classification probability grid + 0.5/0.25/0.75 contour script
-    (mirrors the probit/ncnm branch of gp.cpp:636-750)."""
+    (probit/ncnm branch, ivm.cpp:967-1086) or the gaussian-noise regression
+    plot (ivm.cpp:1087-1202)."""
     cl.advance()
     point_size, line_width, resolution = 2.0, 2.0, 80
     name, model_file = "ivm", "ivm_model"
@@ -262,6 +316,12 @@ def gnuplot(cl: CommandLine):
         name = cl.argv[cl.pos + 2]
     X, y = load_data(data_file, cl.file_format)
     model = model_io.read_ivm(model_file, X=X, y=y)
+    if model.spec.noise.kind == "gaussian":
+        _gnuplot_regression(model, X, y, name, resolution, point_size,
+                            line_width)
+        return
+    if model.spec.noise.kind not in ("probit", "ncnm"):
+        raise ExitError("Unknown noise model for gnuplot output.")
     if model.spec.input_dim != 2:
         raise ExitError("Incorrect number of model inputs.")
 

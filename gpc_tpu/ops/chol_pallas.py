@@ -102,9 +102,12 @@ def _inv_body(n):
         lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0, keepdims=True)
         lrow_lo = jnp.where(cols_r < i, lrow, 0.0)            # L[i, :i]
         # (1,n)·(n,n) on the MXU — a (n,1)↔(1,n) transpose relayout here is
-        # rejected/miscompiled by Mosaic (non-finite output on v5e)
+        # rejected/miscompiled by Mosaic (non-finite output on v5e).
+        # Explicit HIGHEST: Mosaic rejects an inherited Precision.HIGH, and
+        # the inverse must be full f32 (it feeds every later panel GEMM).
         contrib = jax.lax.dot_general(lrow_lo, M, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=L.dtype)
+                                      preferred_element_type=L.dtype,
+                                      precision=jax.lax.Precision.HIGHEST)
         pivot = jnp.sum(jnp.where(cols_r == i, lrow, 0.0),
                         keepdims=True)                        # (1, 1)
         ei = (cols_r == i).astype(L.dtype)

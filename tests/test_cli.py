@@ -148,3 +148,90 @@ def test_gp_learn_matlab_format(in_tmp, capsys):
     with pytest.raises(SystemExit):
         scipy.io.savemat("bad.mat", {"X": X})
         gp_cli.main(["learn", "-f", "1", "bad.mat"])
+
+
+def test_ivm_gnuplot_regression_2d(in_tmp):
+    """Gaussian-noise IVM gnuplot, 2-D branch (ivm.cpp:1108-1156)."""
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((25, 2))
+    y = np.sin(X[:, 0])
+    write_svml("r2.svml", X, y)
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-o", "regression", "-a", "10",
+                  "-k", "rbf", "-e", "1", "-#", "15", "-n", "5", "r2.svml", "rg"])
+    ivm_cli.main(["gnuplot", "r2.svml", "rg", "rv"])
+    for f in ("rv_active_set.dat", "rv_scatter_data.dat",
+              "rv_output_matrix.dat", "rv_plot.gp"):
+        assert os.path.exists(f), f
+    # active-set file carries the target column (ivm.cpp:1089-1095)
+    act = np.loadtxt("rv_active_set.dat")
+    assert act.shape == (10, 3)
+    assert not np.allclose(act[:, 2], 0.0)
+    assert "splot" in open("rv_plot.gp").read()
+
+
+def test_ivm_gnuplot_regression_1d(in_tmp):
+    """Gaussian-noise IVM gnuplot, 1-D line + ±1σ error bars (ivm.cpp:1157-1202)."""
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((20, 1))
+    y = np.sin(2 * X[:, 0])
+    write_svml("r1.svml", X, y)
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-o", "regression", "-a", "8",
+                  "-k", "rbf", "-e", "1", "-#", "15", "-n", "5", "r1.svml", "rg1"])
+    ivm_cli.main(["-v", "0", "gnuplot", "-r", "40", "r1.svml", "rg1", "rw"])
+    for f in ("rw_line_data.dat", "rw_error_bar_data.dat",
+              "rw_scatter_data.dat", "rw_active_set.dat", "rw_plot.gp"):
+        assert os.path.exists(f), f
+    line = np.loadtxt("rw_line_data.dat")
+    assert line.shape == (40, 2)
+    # error bars are mean ± ONE predictive std (ivm.cpp:1177-1180)
+    bars = np.loadtxt("rw_error_bar_data.dat")
+    assert bars.shape == (80, 2)
+    plus, minus = bars[:40, 1], bars[40:, 1]
+    np.testing.assert_allclose((plus + minus) / 2.0, line[:, 1], atol=1e-10)
+    assert np.all(plus > minus)
+    assert "error_bar_data" in open("rw_plot.gp").read()
+
+
+def test_gp_gnuplot_classification(in_tmp):
+    """probit/ncnm gp gnuplot branch (gp.cpp:635-750): probability grid,
+    class scatter files, decision/contour script, inducing-set file."""
+    from gpc_tpu.io import model_io as mio
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(0)
+    X = np.vstack([rng.standard_normal((15, 2)) + 2,
+                   rng.standard_normal((15, 2)) - 2])
+    y = np.concatenate([np.ones(15), -np.ones(15)])
+    write_svml("c.svml", X, y)
+    gp_cli.main(["-s", "7", "-v", "0", "learn", "-A", "dtc", "-a", "6",
+                 "-#", "10", "c.svml", "cm"])
+    # retag the stored model as a probit classifier (classification gp model
+    # files come from outside the gp CLI in the reference too — its learn
+    # only ever builds CGaussianNoise, gp.cpp:379-388)
+    model = mio.read_gp("cm")
+    model.noise_type = "probit"
+    model.noise_params = np.array([0.0, 1e-6])
+    mio.write_gp("cm_probit", model)
+    gp_cli.main(["gnuplot", "-r", "20", "c.svml", "cm_probit", "cp"])
+    for f in ("cp_inducing_set.dat", "cp_positive.dat", "cp_negative.dat",
+              "cp_prob_matrix.dat", "cp_plot.gp"):
+        assert os.path.exists(f), f
+    probs = np.loadtxt("cp_prob_matrix.dat")
+    assert probs.shape == (400, 3)
+    assert np.all((probs[:, 2] >= 0) & (probs[:, 2] <= 1))
+    assert probs[:, 2].max() > 0.8 and probs[:, 2].min() < 0.2
+    gp_script = open("cp_plot.gp").read()
+    assert "cntrparam levels discrete 0.5" in gp_script
+    assert "0.25, 0.75" in gp_script
+    # 1-D classification model must be rejected (gp.cpp:624-626)
+    rng = np.random.default_rng(1)
+    X1 = rng.standard_normal((10, 1))
+    write_svml("c1.svml", X1, np.sign(X1[:, 0]))
+    gp_cli.main(["-s", "7", "-v", "0", "learn", "-#", "5", "c1.svml", "g1"])
+    m1 = mio.read_gp("g1")
+    m1.noise_type = "probit"
+    m1.noise_params = np.array([0.0, 1e-6])
+    mio.write_gp("g1p", m1)
+    with pytest.raises(SystemExit):
+        gp_cli.main(["gnuplot", "c1.svml", "g1p", "x"])

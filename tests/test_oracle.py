@@ -27,11 +27,22 @@ EXAMPLES = "/root/reference/examples"
 
 
 def _ensure_oracle():
+    """Build the oracle on demand (cached at ORACLE_DIR) so the seeded
+    CLI-trajectory parity tests RUN in the default suite instead of skipping.
+    Set GPC_TPU_ORACLE_BUILD=0 to skip the build (e.g. no toolchain)."""
     gp = os.path.join(ORACLE_DIR, "gp")
-    if not os.path.exists(gp) and os.environ.get("GPC_TPU_ORACLE_BUILD") == "1":
-        subprocess.run(["bash", os.path.join(os.path.dirname(__file__), "..",
-                                             "tools", "build_oracle.sh")],
-                       check=True, env={**os.environ, "ORACLE_DIR": ORACLE_DIR})
+    if not os.path.exists(gp) and os.environ.get(
+            "GPC_TPU_ORACLE_BUILD", "1") != "0":
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference tree not available to build the oracle")
+        try:
+            subprocess.run(
+                ["bash", os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "build_oracle.sh")],
+                check=True, capture_output=True, timeout=900,
+                env={**os.environ, "ORACLE_DIR": ORACLE_DIR})
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            pytest.skip(f"oracle build failed: {e}")
     if not os.path.exists(gp):
         pytest.skip("reference oracle binaries not built (tools/build_oracle.sh)")
 
