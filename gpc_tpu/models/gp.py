@@ -139,19 +139,25 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
         logdet_uu = linalg.chol_logdet(L_uu)
 
         if spec.approx in (DTC, DTCVAR):
-            # A = (1/β)·K_uu + K_uf·K_fu (updateAD, CGp.cpp:770-773)
-            A = K_uu / beta + K_uf @ K_uf.T
-            L_A, _ = linalg.jitchol(A)
-            logdetA = linalg.chol_logdet(L_A)
-            e = K_uf @ m                       # (M, D)
-            quad = jnp.sum(e * linalg.chol_solve(L_A, e))
+            # A = (1/β)·K_uu + K_uf·K_fu (updateAD, CGp.cpp:770-773),
+            # factored through the L_uu-whitened form A = L_uu·Am·L_uuᵀ with
+            # Am = I/β + V·Vᵀ, V = L_uu⁻¹K_uf (the same whitening the FITC
+            # branch uses): −logdet_uu + logdetA = logdet Am and
+            # eᵀA⁻¹e = ‖L_m⁻¹(V·m)‖².  Identical quantity, but cond(Am) ≪
+            # cond(A) — the direct factorization hits cond(A) ≈ 1e9 at
+            # β=1e3 and loses ~3 digits of gradient agreement vs the MATLAB
+            # goldens (tests/test_golden_gp.py).
+            V = linalg.tri_solve(L_uu, K_uf)       # (M, N)
+            Am = jnp.eye(M, dtype=V.dtype) / beta + V @ V.T
+            L_m, _ = linalg.jitchol(Am)
+            e = V @ m                              # (M, D)
+            quad = jnp.sum(jnp.square(linalg.tri_solve(L_m, e)))
             mm = jnp.sum(m * m)
-            Lacc = D * ((M - N) * jnp.log(beta) - logdet_uu + logdetA)
+            Lacc = D * ((M - N) * jnp.log(beta) + linalg.chol_logdet(L_m))
             Lacc = Lacc - beta * (quad - mm)
             if spec.approx == DTCVAR:
                 diagK = spec.kern.diag(kp, X)
-                V = linalg.chol_solve(L_uu, K_uf)
-                diagQ = jnp.sum(V * K_uf, axis=0)
+                diagQ = jnp.sum(V * V, axis=0)     # diag K_fu·K_uu⁻¹·K_uf
                 diagD = beta * (diagK - diagQ)
                 Lacc = Lacc + D * jnp.sum(diagD)
         elif spec.approx == PITC:

@@ -65,8 +65,16 @@ class IvmState(NamedTuple):
     g: jax.Array            # (N, D)
 
 
-def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmState:
-    """Greedy active-set selection (CIvm::selectPoints) as a jitted scan."""
+def select_points(spec: IvmSpec, kern_params, noise_params, X, y,
+                  rand_vals) -> IvmState:
+    """Greedy active-set selection (CIvm::selectPoints) as a jitted scan.
+
+    `rand_vals` is a (d,) array of U[0,1) draws, one slot per selection step;
+    step k consumes rand_vals[k] ONLY on a random pick (RANDOM always,
+    RENTROPY at k=0) — the reference draws from its global MT19937 exactly
+    then (CIvm::randomPointAdd, CIvm.cpp:402-411), so a caller that fills the
+    consumed slots from utils.refrng.RefRng reproduces seeded reference
+    binaries bit-for-bit in selection order."""
     N, D, d = spec.n_data, spec.output_dim, spec.num_active
     C = spec.n_struct
     X = jnp.asarray(X)
@@ -91,14 +99,13 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmSta
         beta_site=jnp.zeros((d, D), dt),
         mask=jnp.zeros((N,), bool),
         idx=jnp.zeros((d,), jnp.int32),
-        key=key,
     )
+    rand_vals = jnp.asarray(rand_vals, dt)
 
     white = spec.kern.white(kp)
 
     def body(carry, k):
         nu, g, mask = carry["nu"], carry["g"], carry["mask"]
-        key, sub = jax.random.split(carry["key"])
 
         # --- selection (CIvm.cpp:366-431) ---------------------------------
         if spec.noise.spherical:
@@ -107,8 +114,10 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmSta
             delta = jnp.sum(-0.5 * jnp.log(1.0 - carry["vs"] * nu + 1e-300), axis=1)
         delta = jnp.where(mask, -jnp.inf, delta)
         ent_index = jnp.argmax(delta)
-        # random pick from the inactive set
-        r = jax.random.uniform(sub)
+        # random pick from the inactive set: index = (int)(r·|inactive|) into
+        # the ascending-ordered inactive list (CIvm.cpp:405-407; erase
+        # preserves order, so inactive stays index-sorted)
+        r = rand_vals[k]
         n_inactive = N - k
         target = jnp.floor(r * n_inactive).astype(jnp.int32)
         rank = jnp.cumsum(~mask) - 1  # rank among inactive
@@ -156,7 +165,7 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmSta
         nu_new, g_new = spec.noise.nu_g(np_, mu, vs, y)
 
         return dict(M=M, L=L, mu=mu, vs=vs, nu=nu_new, g=g_new, m_site=m_site,
-                    beta_site=beta_site, mask=mask, idx=idx, key=key), None
+                    beta_site=beta_site, mask=mask, idx=idx), None
 
     final, _ = lax.scan(body, init, jnp.arange(d))
     return IvmState(active_idx=final["idx"], active_mask=final["mask"],
@@ -165,14 +174,16 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y, key) -> IvmSta
                     nu=final["nu"], g=final["g"])
 
 
-def select_point_remove(spec: IvmSpec, state: IvmState, key=None):
+def select_point_remove(spec: IvmSpec, state: IvmState, r=None):
     """Select an active point to remove (CIvm::selectPointRemove,
     CIvm.cpp:432-489).
 
     Removal entropy change per active slot k holding data index i:
         Δₖ = −½ Σ_j log(1 − ς_ij·β_kj + 1e-300)
     (spherical noise: j = 0 replicated ×D).  ENTROPY/RENTROPY pick argmax Δ,
-    RANDOM picks uniformly (CIvm.cpp:462-469).
+    RANDOM picks uniformly via the caller-supplied U[0,1) draw `r`
+    (slot = ⌊r·d⌋ — the reference uses libc rand() here, its one departure
+    from the seeded MT19937 stream, CIvm.cpp:462-469).
 
     The upstream implementation of this API is dead code with two indexing
     bugs — `entropyPointRemove` returns `inactiveSet[argmax]` (CIvm.cpp:459)
@@ -192,9 +203,9 @@ def select_point_remove(spec: IvmSpec, state: IvmState, key=None):
         delta = jnp.sum(
             -0.5 * jnp.log(1.0 - vs_active * state.beta_site + 1e-300), axis=1)
     if spec.selection == RANDOM:
-        if key is None:
-            raise ValueError("random removal needs a PRNG key")
-        slot = jax.random.randint(key, (), 0, d)
+        if r is None:
+            raise ValueError("random removal needs a U[0,1) draw")
+        slot = jnp.minimum(jnp.floor(r * d), d - 1).astype(jnp.int32)
     else:  # entropy / rentropy
         slot = jnp.argmax(delta)
     return slot, state.active_idx[slot], delta[slot]
@@ -265,10 +276,14 @@ class IVM:
                                        else kern.default_params())
         self.noise_params = jnp.asarray(noise_params if noise_params is not None
                                         else noise.default_params(y))
-        self.key = jax.random.PRNGKey(seed if seed is not None else 0)
+        # The reference seeds ONE global MT19937 from the CLI -s flag and
+        # random/rentropy selection draws from it (CIvm.cpp:402-411 via
+        # ndlutil::rand); owning a RefRng here reproduces those streams.
+        from gpc_tpu.utils.refrng import RefRng
+        self.ref_rng = RefRng(seed if seed is not None else 0)
         self.state: Optional[IvmState] = None
-        self._select = jax.jit(lambda kp, npar, key: select_points(
-            self.spec, kp, npar, self.X, self.y, key))
+        self._select = jax.jit(lambda kp, npar, rv: select_points(
+            self.spec, kp, npar, self.X, self.y, rv))
         # Jitted once with the site state as ARGUMENTS (not closure captures):
         # CIvm::optimise re-selects every external iteration, and re-tracing
         # the objectives each round dominated wall-clock before this.
@@ -289,8 +304,16 @@ class IVM:
 
     # -- CIvm API parity -----------------------------------------------------
     def init_and_select(self):
-        self.key, sub = jax.random.split(self.key)
-        self.state = self._select(self.kern_params, self.noise_params, sub)
+        # draw exactly the uniforms the reference consumes this pass:
+        # d for RANDOM, one (step 0) for RENTROPY, none for ENTROPY
+        d = self.spec.num_active
+        rv = np.zeros(d)
+        if self.spec.selection == RANDOM:
+            rv[:] = [self.ref_rng.rand() for _ in range(d)]
+        elif self.spec.selection == RENTROPY:
+            rv[0] = self.ref_rng.rand()
+        self.state = self._select(self.kern_params, self.noise_params,
+                                  jnp.asarray(rv))
         return self.state
 
     def active_X(self):

@@ -18,11 +18,16 @@ Panel sweep (W = B columns per panel, nb = n_devices panels):
        S_local[:, k>jB] −= L_local_panel · L_panel[k rows]ᵀ
     4. each device writes its rows of the finished panel into its block.
 
-The factor comes back row-block-sharded.  Forward-only for now (the NLML fast
-path needs a custom VJP — ROADMAP).
+The factor comes back row-block-sharded.  `chol_distributed` is a raw factor
+(forward-only); the differentiable surface is `evidence_distributed`, whose
+custom VJP runs the reverse panel sweeps (the same three sweeps the FTC
+training path uses) so GPLVM and sparse paths can `jax.grad` straight through
+the distributed evidence.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -69,8 +74,128 @@ def _local_factor_step(j, S_local, n_dev, B, N, axis=DATA_AXIS):
     return S_local, L_panel
 
 
+def _gather_panel(L_local, j, B, axis=DATA_AXIS):
+    """Replicated (N, B) column panel j of the row-sharded factor."""
+    zero = jnp.zeros((), jnp.int32)
+    my = lax.dynamic_slice(L_local, (zero, jnp.asarray(j, jnp.int32) * B),
+                           (B, B))
+    return lax.all_gather(my, axis, tiled=True)
+
+
+def _forward_solve_sweep(L_local, r, n_dev, B, N):
+    """Forward substitution L·v = r over gathered panels (replicated r)."""
+    zero = jnp.zeros((), jnp.int32)
+
+    def body(j, r):
+        j32 = jnp.asarray(j, jnp.int32)
+        panel = _gather_panel(L_local, j, B)
+        L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+        r_j = lax.dynamic_slice(r, (j32 * B, zero), (B, r.shape[1]))
+        v_j = solve_triangular(L_jj, r_j, lower=True)
+        below = (jnp.arange(N) >= (j + 1) * B)[:, None]
+        r = r - jnp.where(below, panel @ v_j, 0.0)
+        return lax.dynamic_update_slice(r, v_j, (j32 * B, zero))
+
+    return lax.fori_loop(0, n_dev, body, r)
+
+
+def _backward_solve_sweep(L_local, v, n_dev, B, N):
+    """Backward substitution Lᵀ·a = v over gathered panels (replicated v)."""
+    zero = jnp.zeros((), jnp.int32)
+
+    def body(t, alpha):
+        j = n_dev - 1 - t
+        j32 = jnp.asarray(j, jnp.int32)
+        panel = _gather_panel(L_local, j, B)
+        L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+        a_j = lax.dynamic_slice(alpha, (j32 * B, zero), (B, alpha.shape[1]))
+        below = (jnp.arange(N) >= (j + 1) * B)[:, None]
+        rhs = a_j - panel.T @ jnp.where(below, alpha, 0.0)
+        a_j = solve_triangular(L_jj.T, rhs, lower=False)
+        return lax.dynamic_update_slice(alpha, a_j, (j32 * B, zero))
+
+    return lax.fori_loop(0, n_dev, body, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _evidence_distributed_fn(mesh: Mesh):
+    """Differentiable (logdet, quad) = f(K_rows, m) over `mesh`, cached per
+    mesh so the custom_vjp identity is stable across jit retraces."""
+    n_dev = len(mesh.devices)
+
+    def fwd_local(S_local, m_rep):
+        B, N = S_local.shape
+        zero = jnp.zeros((), jnp.int32)
+
+        def body(j, carry):
+            S, r, logdet = carry
+            S, panel = _local_factor_step(j, S, n_dev, B, N)  # (N, B), replicated
+            j32 = jnp.asarray(j, jnp.int32)
+            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
+            r_j = lax.dynamic_slice(r, (j32 * B, zero), (B, r.shape[1]))
+            v_j = solve_triangular(L_jj, r_j, lower=True)
+            below = (jnp.arange(N) >= (j + 1) * B)[:, None]
+            r = r - jnp.where(below, panel @ v_j, 0.0)
+            r = lax.dynamic_update_slice(r, v_j, (j32 * B, zero))
+            logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_jj)))
+            return S, r, logdet
+
+        init = (S_local, m_rep, jnp.zeros((), S_local.dtype))
+        L_local, v, logdet = lax.fori_loop(0, n_dev, body, init)
+        return logdet, jnp.sum(v * v), L_local, v
+
+    fwd_sharded = jax.shard_map(
+        fwd_local, mesh=mesh, in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(), P(), P(DATA_AXIS, None), P()), check_vma=False)
+
+    def bwd_local(L_local, v, g_ld, g_quad):
+        """Cotangents: ∂logdet/∂K = K⁻¹ (symmetric), ∂quad/∂K = −α·αᵀ,
+        ∂quad/∂m = 2α, with α = K⁻¹m = L⁻ᵀv — the reverse panel sweeps of the
+        FTC training path (CGp::updateCovGradient form, CGp.cpp:666-679)."""
+        B, N = L_local.shape
+        d = lax.axis_index(DATA_AXIS)
+        zero = jnp.zeros((), jnp.int32)
+        rows_g = d * B + jnp.arange(B)
+
+        alpha = _backward_solve_sweep(L_local, v, n_dev, B, N)
+        # Z = K⁻¹·E_d (my unit columns): forward then backward sweep
+        U0 = jnp.zeros((N, B), L_local.dtype).at[rows_g, jnp.arange(B)].set(1.0)
+        Z = _backward_solve_sweep(
+            L_local, _forward_solve_sweep(L_local, U0, n_dev, B, N),
+            n_dev, B, N)
+        alpha_l = lax.dynamic_slice(alpha, (d * B, zero), (B, alpha.shape[1]))
+        Kbar_rows = g_ld * Z.T - g_quad * (alpha_l @ alpha.T)
+        mbar = 2.0 * g_quad * alpha
+        return Kbar_rows, mbar
+
+    bwd_sharded = jax.shard_map(
+        bwd_local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(), P(), P()),
+        out_specs=(P(DATA_AXIS, None), P()), check_vma=False)
+
+    @jax.custom_vjp
+    def evidence(K_rows, m):
+        logdet, quad, _L, _v = fwd_sharded(K_rows, m)
+        return logdet, quad
+
+    def evidence_fwd(K_rows, m):
+        logdet, quad, L_local, v = fwd_sharded(K_rows, m)
+        return (logdet, quad), (L_local, v)
+
+    def evidence_bwd(res, cots):
+        L_local, v = res
+        g_ld, g_quad = cots
+        Kbar, mbar = bwd_sharded(L_local, v, jnp.asarray(g_ld),
+                                 jnp.asarray(g_quad))
+        return Kbar, mbar
+
+    evidence.defvjp(evidence_fwd, evidence_bwd)
+    return evidence
+
+
 def evidence_distributed(mesh: Mesh, K_rows, m):
-    """Fused distributed evidence: logdet(K) and mᵀK⁻¹m in ONE panel sweep.
+    """Fused distributed evidence: logdet(K) and Σⱼ mⱼᵀK⁻¹mⱼ in ONE panel
+    sweep — differentiable in (K_rows, m) via a custom VJP.
 
     The forward substitution L·v = m rides the factorization: at panel j the
     replicated (N, B) column panel is already in hand, so v_j = L_jj⁻¹·r_j and
@@ -78,38 +203,14 @@ def evidence_distributed(mesh: Mesh, K_rows, m):
     (m and r are (N, D) with small D, kept replicated).  Returns
     (logdet, quad) replicated — exactly the two numbers the FTC NLML needs
     (CGp.cpp:920-937) — without K, L, or any N×N object ever existing on a
-    single device.
+    single device.  The VJP runs the reverse panel sweeps (backward solve for
+    α, forward+backward solves for this device's K⁻¹ columns), so `jax.grad`
+    through a kernel-built K_rows matches the dense single-chip gradient.
     """
     n_dev = len(mesh.devices)
     N = K_rows.shape[0]
     assert N % n_dev == 0
-    B = N // n_dev
-    m = jnp.asarray(m)
-
-    def local(S_local, m_rep):
-        def body(j, carry):
-            S, r, logdet = carry
-            S, panel = _local_factor_step(j, S, n_dev, B, N)  # (N, B) of L, replicated
-            j32 = jnp.asarray(j, jnp.int32)
-            zero = jnp.zeros((), jnp.int32)
-            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
-            r_j = lax.dynamic_slice(r, (j32 * B, zero), (B, r.shape[1]))
-            v_j = solve_triangular(L_jj, r_j, lower=True)
-            # residual update for all later rows; zero the solved block's rows
-            rows = jnp.arange(N)[:, None]
-            below = rows >= (j + 1) * B
-            r = r - jnp.where(below, panel @ v_j, 0.0)
-            r = lax.dynamic_update_slice(r, v_j, (j32 * B, zero))
-            logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_jj)))
-            return S, r, logdet
-
-        init = (S_local, m_rep, jnp.zeros((), S_local.dtype))
-        _, v, logdet = lax.fori_loop(0, n_dev, body, init)
-        quad = jnp.sum(v * v)
-        return logdet, quad
-
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS, None), P()),
-                         out_specs=(P(), P()), check_vma=False)(K_rows, m)
+    return _evidence_distributed_fn(mesh)(K_rows, jnp.asarray(m))
 
 
 def chol_distributed(mesh: Mesh, K_rows):

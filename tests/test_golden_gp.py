@@ -41,11 +41,18 @@ def _setup(name):
     return spec, theta, X, y, bias, scale, d
 
 
-# DTC's collapsed-evidence matrix A = K_uu/β + K_uf·K_fu has cond ≈ 1e9 at
-# β=1000, so LAPACK (MATLAB/C++) and XLA reach slightly different solves —
-# gradients agree to ~3e-3 relative (worst entries), ll to ~3e-9.  FTC/FITC are exact.
-_GRAD_TOL = {"testGpftc": (1e-7, 1e-9), "testGpdtc": (5e-3, 1e-2),
+# DTC/DTCVAR factor A = K_uu/β + K_uf·K_fu through the L_uu-whitened
+# Am = I/β + V·Vᵀ (models/gp.py, same whitening as the FITC branch); every
+# non-inducing gradient then agrees with the MATLAB goldens to ≤1e-5.  The
+# DTC fixture's INDUCING-INPUT gradient block is itself inaccurate: central
+# finite differences of the NLML (trustworthy here to ~1e-7 — ll matches
+# MATLAB to 1e-7 rtol) agree with our jax.grad to ≤1e-5 but deviate from the
+# fixture's X_u entries by up to 2.7e-3 (GPmat's hand-derived gpCovGrads at
+# cond(A)≈1e9, fp64).  So X_u grads are asserted against the FD ground truth
+# tightly and against the fixture only at its own accuracy.
+_GRAD_TOL = {"testGpftc": (1e-7, 1e-9), "testGpdtc": (1e-5, 1e-6),
              "testGpfitc": (1e-5, 1e-6)}
+_XU_FIXTURE_TOL = 5e-3
 
 
 @pytest.mark.parametrize("name", ["testGpftc", "testGpdtc", "testGpfitc"])
@@ -58,9 +65,33 @@ def test_gp_loglik_and_grads_golden(name):
                               jnp.asarray(bias), jnp.asarray(scale)))
     np.testing.assert_allclose(ll + const, float(d["ll"][0, 0]), rtol=1e-7,
                                err_msg=f"{name} ll")
-    g = jax.grad(lambda t: log_likelihood(
+    g = np.asarray(jax.grad(lambda t: log_likelihood(
         spec, t, jnp.asarray(X), jnp.asarray(y), jnp.asarray(bias),
-        jnp.asarray(scale)))(theta)
+        jnp.asarray(scale)))(theta))
+    gm = d["grads"].ravel()
     rtol, atol = _GRAD_TOL[name]
-    np.testing.assert_allclose(np.asarray(g), d["grads"].ravel(), rtol=rtol,
-                               atol=atol, err_msg=f"{name} grads")
+    if name != "testGpdtc":
+        np.testing.assert_allclose(g, gm, rtol=rtol, atol=atol,
+                                   err_msg=f"{name} grads")
+        return
+    nxu = spec.num_active * spec.input_dim  # θ leads with X_u column-major
+    np.testing.assert_allclose(g[nxu:], gm[nxu:], rtol=rtol, atol=atol,
+                               err_msg=f"{name} non-inducing grads")
+    np.testing.assert_allclose(g[:nxu], gm[:nxu], rtol=_XU_FIXTURE_TOL,
+                               atol=1e-2, err_msg=f"{name} X_u grads (fixture)")
+    # ground truth: central finite differences on the worst-agreeing entries
+    # (picked by ABSOLUTE deviation — FD noise is ~1e-7 absolute from the
+    # ill-conditioned NLML, so only large-magnitude entries resolve 1e-4)
+    f = lambda t: float(log_likelihood(
+        spec, jnp.asarray(t), jnp.asarray(X), jnp.asarray(y),
+        jnp.asarray(bias), jnp.asarray(scale)))
+    th = np.array(theta, copy=True)
+    abs_fix = np.abs(g[:nxu] - gm[:nxu])
+    for i in np.argsort(abs_fix)[-3:]:
+        h = 1e-6 * max(1.0, abs(th[i]))
+        tp, tm = th.copy(), th.copy()
+        tp[i] += h
+        tm[i] -= h
+        fd = (f(tp) - f(tm)) / (2 * h)
+        assert abs(g[i] - fd) <= 1e-4 * max(abs(fd), 1.0), (
+            f"{name} X_u grad {i}: ours {g[i]} vs FD {fd}")

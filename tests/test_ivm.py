@@ -146,10 +146,58 @@ def test_select_point_remove():
     assert data_idx == int(state.active_idx[slot])
     assert float(delta) > 0.0
 
-    # random criterion draws a valid slot
+    # random criterion maps the uniform draw to a valid slot (slot = ⌊r·d⌋)
     import dataclasses
     spec_r = dataclasses.replace(model.spec, selection="random")
-    key = jax.random.PRNGKey(0)
-    slot_r, idx_r, _ = select_point_remove(spec_r, state, key=key)
-    assert 0 <= int(slot_r) < 10
-    assert int(idx_r) == int(state.active_idx[int(slot_r)])
+    slot_r, idx_r, _ = select_point_remove(spec_r, state, r=0.73)
+    assert int(slot_r) == 7
+    assert int(idx_r) == int(state.active_idx[7])
+    slot_edge, _, _ = select_point_remove(spec_r, state, r=0.9999999)
+    assert int(slot_edge) == 9
+
+
+def test_random_selection_reference_stream():
+    """RANDOM/RENTROPY selection consumes the reference-exact MT19937 stream:
+    the scan's rank-among-inactive mapping must reproduce the reference's
+    draw-and-erase loop `index = inactive[(int)(ndlutil::rand()·|inactive|)]`
+    (CIvm::randomPointAdd, CIvm.cpp:402-411) for the same seed."""
+    import dataclasses
+    from gpc_tpu.utils.refrng import RefRng
+
+    X, y = _data(N=23)
+    d = 9
+    for selection in ("random", "rentropy"):
+        model = IVM(_kern(2), NZ.GaussianNoise(output_dim=1), X, y,
+                    num_active=d, seed=1042, selection=selection)
+        st = model.init_and_select()
+        got = [int(i) for i in np.asarray(st.active_idx)]
+
+        if selection == "random":
+            # host replication of the reference loop on the same stream
+            rng = RefRng(1042)
+            inactive = list(range(23))
+            want = []
+            for _ in range(d):
+                pick = int(rng.rand() * len(inactive))
+                want.append(inactive.pop(pick))
+            assert got == want
+        else:
+            # rentropy: first point random from the stream, rest entropy
+            rng = RefRng(1042)
+            first = int(rng.rand() * 23)
+            assert got[0] == first
+            ent = IVM(_kern(2), NZ.GaussianNoise(output_dim=1), X, y,
+                      num_active=d, seed=1042, selection="entropy")
+            ent_idx = [int(i) for i in np.asarray(ent.init_and_select().active_idx)]
+            assert got != ent_idx or first == ent_idx[0]
+
+        # a second pass continues the stream (reference reuses the global RNG)
+        st2 = model.init_and_select()
+        if selection == "random":
+            got2 = [int(i) for i in np.asarray(st2.active_idx)]
+            inactive = list(range(23))
+            want2 = []
+            for _ in range(d):
+                pick = int(rng.rand() * len(inactive))
+                want2.append(inactive.pop(pick))
+            assert got2 == want2
