@@ -135,9 +135,20 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     m = (jnp.asarray(y) - jnp.asarray(noise_bias)[None, :]) / scales[None, :]
     N, D, q = spec.n_data, spec.data_dim, spec.latent_dim
 
-    K = spec.kern.gram(kp, X)
-    L_K, _ = linalg.jitchol(K)
-    Lacc = linalg.quad_form(L_K, m) + D * linalg.chol_logdet(L_K)
+    # Large-N fast path (the reference GP-LVM stops at ~1k points,
+    # README.md:412-414): fuse the Gram tiles into the blocked factorization
+    # (ops/lazy_evidence) so K never takes a standalone N² HBM pass and the
+    # evidence differentiates through pure-jnp GEMM/chol ops.  The dense
+    # jitchol path (escalating jitter) remains the CPU/parity route.
+    import jax as _jax
+    if (_jax.default_backend() != "cpu" and N % 256 == 0 and N > 512):
+        from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
+        logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m)
+        Lacc = quad + D * logdet
+    else:
+        K = spec.kern.gram(kp, X)
+        L_K, _ = linalg.jitchol(K)
+        Lacc = linalg.quad_form(L_K, m) + D * linalg.chol_logdet(L_K)
 
     if spec.has_dynamics:
         Xout = _xout(spec, X)

@@ -1,4 +1,4 @@
-// Limited-memory BFGS with strong-Wolfe line search, reverse-communication API.
+// Limited-memory BFGS with the Moré-Thuente line search, reverse communication.
 //
 // TPU-native counterpart of the reference's Fortran LBFGS + MCSRCH/MCSTEP
 // (reference ndlfortran.f:8-1153, driven via reverse communication from
@@ -8,8 +8,18 @@
 // request, so device evaluations and native bookkeeping interleave without
 // callbacks across the FFI boundary.
 //
-// Line search: bracket + zoom for the strong Wolfe conditions
-// (Nocedal & Wright, Algorithms 3.5/3.6) with bisection-guarded cubic steps.
+// Line search: the Moré-Thuente algorithm (ACM TOMS 20(3), 1994 — the
+// MINPACK cvsrch/cstep scheme the reference's MCSRCH/MCSTEP implements),
+// written from the published algorithm: a guaranteed-sufficient-decrease
+// search with the four-case cubic/quadratic trial-step update and the
+// stage-1 modified-function trick.  Driver conventions follow Nocedal's
+// lbfgs.f: FTOL=1e-4, GTOL=0.9, XTRAPF=4, MAXFEV per search, first-iteration
+// trial step 1/‖g‖₂, convergence ‖g‖₂ ≤ eps·max(1, ‖x‖₂), H₀ = (sᵀy/yᵀy)·I.
+// (The reference's own f2c bundle ndlfortran.c omits LBFGS entirely, so its
+// MSVC builds never had `-O quasinew`; trajectory parity versus the Fortran
+// is unverifiable in this environment — tools/build_oracle.sh stubs lbfgs_ —
+// and is asserted instead by algorithm identity plus the trajectory-quality
+// tests in tests/test_optim.py.)
 //
 // API (ctypes-friendly):
 //   handle = lbfgs_create(n, m)          — n params, m history pairs (ref: m=10)
@@ -17,30 +27,34 @@
 //                                          x is updated in place to the next
 //                                          evaluation point.
 //       task = 0: evaluate f,g at new x and call again
-//       task = 1: converged (gradient/step tolerance met)
+//       task = 1: converged (gradient tolerance met)
 //       task = 2: line-search failure / numerical breakdown (x = best seen)
 //   lbfgs_destroy(handle)
 //
 // Build: g++ -O3 -shared -fPIC lbfgs.cpp -o liblbfgs_native.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <vector>
 
 namespace {
 
-constexpr double C1 = 1e-4;  // sufficient decrease
-constexpr double C2 = 0.9;   // curvature
+constexpr double FTOL = 1e-4;    // sufficient decrease (lbfgs.f:284)
+constexpr double GTOL = 0.9;     // curvature (lbfgs.f default, :245-247)
+constexpr double XTRAPF = 4.0;   // extrapolation factor (MCSRCH)
+constexpr double STPMIN = 1e-20;
+constexpr double STPMAX = 1e20;
 
-enum Phase { NEW_DIRECTION, BRACKET, ZOOM };
+enum Phase { NEW_DIRECTION, LINE_SEARCH };
 
 struct State {
   int n;
   int m;
   long iter = 0;
-  double grad_tol = 1e-6;
-  double step_tol = 1e-12;
-  int max_ls = 25;
+  double grad_tol = 1e-6;   // eps: ‖g‖₂ ≤ eps·max(1, ‖x‖₂)
+  double xtol = 1e-6;       // MCSRCH interval tolerance (ref passes paramTol)
+  int max_ls = 20;          // MAXFEV (lbfgs.f uses 20)
 
   std::vector<std::vector<double>> s_hist, y_hist;
   std::vector<double> rho;
@@ -50,11 +64,14 @@ struct State {
 
   Phase phase = NEW_DIRECTION;
   double stp = 1.0;
-  // bracket phase: previous trial point
-  double prev_stp = 0.0, prev_f = 0.0, prev_dg = 0.0;
-  // zoom phase interval
-  double lo = 0.0, f_lo = 0.0, dg_lo = 0.0, hi = 0.0, f_hi = 0.0;
   int ls_iter = 0;
+
+  // Moré-Thuente search state
+  bool brackt = false, stage1 = true;
+  double stx = 0.0, fx = 0.0, dx = 0.0;   // best step so far
+  double sty = 0.0, fy = 0.0, dy = 0.0;   // other endpoint
+  double stmin = 0.0, stmax = 0.0;
+  double width = 0.0, width1 = 0.0;
 
   std::vector<double> x_best;
   double f_best = HUGE_VAL;
@@ -66,13 +83,10 @@ double dot(const double* a, const double* b, int n) {
   return s;
 }
 
-double norm_inf(const double* a, int n) {
-  double s = 0.0;
-  for (int i = 0; i < n; ++i) s = std::max(s, std::fabs(a[i]));
-  return s;
-}
+double nrm2(const double* a, int n) { return std::sqrt(dot(a, a, n)); }
 
-// Two-loop recursion: d = -H·g using the stored (s, y) pairs.
+// Two-loop recursion: d = -H·g using the stored (s, y) pairs; H₀ scaled by
+// γ = sᵀy/yᵀy (lbfgs.f's diagonal update).
 void two_loop(State* st, const double* g, double* d) {
   const int n = st->n;
   const int k = static_cast<int>(st->s_hist.size());
@@ -99,10 +113,152 @@ void set_trial(State* st, double* x, double stp) {
   for (int j = 0; j < st->n; ++j) x[j] = st->x0[j] + stp * st->d[j];
 }
 
+// ---------------------------------------------------------------------------
+// cstep — the Moré-Thuente four-case trial-step computation.  Updates the
+// interval of uncertainty (stx..sty) and produces the next trial stp from
+// cubic/quadratic models of the data (stx, fx, dx), (sty, fy, dy),
+// (stp, fp, dp).  Returns false on inconsistent input.
+// ---------------------------------------------------------------------------
+bool cstep(double& stx, double& fx, double& dx, double& sty, double& fy,
+           double& dy, double& stp, double fp, double dp, bool& brackt,
+           double stpmin, double stpmax) {
+  if ((brackt && (stp <= std::min(stx, sty) || stp >= std::max(stx, sty))) ||
+      dx * (stp - stx) >= 0.0 || stpmax < stpmin)
+    return false;
+
+  const double sgnd = dp * (dx >= 0.0 ? 1.0 : -1.0);
+  double stpf;
+  bool bound;
+
+  if (fp > fx) {
+    // Case 1: higher function value — the minimum is bracketed.  Cubic step,
+    // or the average of cubic and quadratic if the cubic is further from stx.
+    bound = true;
+    const double theta = 3.0 * (fx - fp) / (stp - stx) + dx + dp;
+    const double s = std::max({std::fabs(theta), std::fabs(dx), std::fabs(dp)});
+    double gamma = s * std::sqrt(std::max(
+        0.0, (theta / s) * (theta / s) - (dx / s) * (dp / s)));
+    if (stp < stx) gamma = -gamma;
+    const double p = (gamma - dx) + theta;
+    const double q = ((gamma - dx) + gamma) + dp;
+    const double r = p / q;
+    const double stpc = stx + r * (stp - stx);
+    const double stpq =
+        stx + ((dx / ((fx - fp) / (stp - stx) + dx)) / 2.0) * (stp - stx);
+    stpf = (std::fabs(stpc - stx) < std::fabs(stpq - stx))
+               ? stpc
+               : stpc + (stpq - stpc) / 2.0;
+    brackt = true;
+  } else if (sgnd < 0.0) {
+    // Case 2: lower value, derivatives of opposite sign — bracketed.
+    bound = false;
+    const double theta = 3.0 * (fx - fp) / (stp - stx) + dx + dp;
+    const double s = std::max({std::fabs(theta), std::fabs(dx), std::fabs(dp)});
+    double gamma = s * std::sqrt(std::max(
+        0.0, (theta / s) * (theta / s) - (dx / s) * (dp / s)));
+    if (stp > stx) gamma = -gamma;
+    const double p = (gamma - dp) + theta;
+    const double q = ((gamma - dp) + gamma) + dx;
+    const double r = p / q;
+    const double stpc = stp + r * (stx - stp);
+    const double stpq = stp + (dp / (dp - dx)) * (stx - stp);
+    stpf = (std::fabs(stpc - stp) > std::fabs(stpq - stp)) ? stpc : stpq;
+    brackt = true;
+  } else if (std::fabs(dp) < std::fabs(dx)) {
+    // Case 3: lower value, same sign, decreasing derivative magnitude.  The
+    // cubic may not have a minimizer in the step direction; safeguarded.
+    bound = true;
+    const double theta = 3.0 * (fx - fp) / (stp - stx) + dx + dp;
+    const double s = std::max({std::fabs(theta), std::fabs(dx), std::fabs(dp)});
+    double gamma = s * std::sqrt(std::max(
+        0.0, (theta / s) * (theta / s) - (dx / s) * (dp / s)));
+    if (stp > stx) gamma = -gamma;
+    const double p = (gamma - dp) + theta;
+    const double q = (gamma + (dx - dp)) + gamma;
+    const double r = p / q;
+    double stpc;
+    if (r < 0.0 && gamma != 0.0)
+      stpc = stp + r * (stx - stp);
+    else if (stp > stx)
+      stpc = stpmax;
+    else
+      stpc = stpmin;
+    const double stpq = stp + (dp / (dp - dx)) * (stx - stp);
+    if (brackt)
+      stpf = (std::fabs(stp - stpc) < std::fabs(stp - stpq)) ? stpc : stpq;
+    else
+      stpf = (std::fabs(stp - stpc) > std::fabs(stp - stpq)) ? stpc : stpq;
+  } else {
+    // Case 4: lower value, same sign, non-decreasing magnitude.
+    bound = false;
+    if (brackt) {
+      const double theta = 3.0 * (fp - fy) / (sty - stp) + dy + dp;
+      const double s =
+          std::max({std::fabs(theta), std::fabs(dy), std::fabs(dp)});
+      double gamma = s * std::sqrt(std::max(
+          0.0, (theta / s) * (theta / s) - (dy / s) * (dp / s)));
+      if (stp > sty) gamma = -gamma;
+      const double p = (gamma - dp) + theta;
+      const double q = ((gamma - dp) + gamma) + dy;
+      const double r = p / q;
+      stpf = stp + r * (sty - stp);
+    } else if (stp > stx) {
+      stpf = stpmax;
+    } else {
+      stpf = stpmin;
+    }
+  }
+
+  // Update the interval of uncertainty.
+  if (fp > fx) {
+    sty = stp;
+    fy = fp;
+    dy = dp;
+  } else {
+    if (sgnd < 0.0) {
+      sty = stx;
+      fy = fx;
+      dy = dx;
+    }
+    stx = stp;
+    fx = fp;
+    dx = dp;
+  }
+
+  // Compute the new (safeguarded) step.
+  stpf = std::min(std::max(stpf, stpmin), stpmax);
+  stp = stpf;
+  if (brackt && bound) {
+    if (sty > stx)
+      stp = std::min(stx + 0.66 * (sty - stx), stp);
+    else
+      stp = std::max(stx + 0.66 * (sty - stx), stp);
+  }
+  return true;
+}
+
+// Initialize the Moré-Thuente state for a fresh search from x0 along d.
+void ls_init(State* st) {
+  st->brackt = false;
+  st->stage1 = true;
+  st->stx = 0.0;
+  st->fx = st->f0;
+  st->dx = st->dg0;
+  st->sty = 0.0;
+  st->fy = st->f0;
+  st->dy = st->dg0;
+  st->stmin = 0.0;
+  st->stmax = st->stp + XTRAPF * st->stp;
+  st->width = STPMAX - STPMIN;
+  st->width1 = 2.0 * (STPMAX - STPMIN);
+  st->ls_iter = 0;
+}
+
 // Prepare a new search direction from (x, f, g); returns next task.
 int begin_direction(State* st, double* x, double f, const double* g) {
   const int n = st->n;
-  if (norm_inf(g, n) < st->grad_tol) return 1;
+  // lbfgs.f convergence: ‖g‖₂ ≤ eps·max(1, ‖x‖₂)
+  if (nrm2(g, n) <= st->grad_tol * std::max(1.0, nrm2(x, n))) return 1;
   std::memcpy(st->x0.data(), x, n * sizeof(double));
   std::memcpy(st->g0.data(), g, n * sizeof(double));
   st->f0 = f;
@@ -116,14 +272,11 @@ int begin_direction(State* st, double* x, double f, const double* g) {
     st->dg0 = -dot(g, g, n);
     if (st->dg0 == 0.0) return 1;
   }
-  st->phase = BRACKET;
-  st->prev_stp = 0.0;
-  st->prev_f = st->f0;
-  st->prev_dg = st->dg0;
-  st->ls_iter = 0;
-  const double init =
-      st->iter == 0 ? std::min(1.0, 1.0 / norm_inf(st->g0.data(), n)) : 1.0;
-  set_trial(st, x, init);
+  st->phase = LINE_SEARCH;
+  const double init = st->iter == 0 ? 1.0 / nrm2(st->g0.data(), n) : 1.0;
+  st->stp = std::min(std::max(init, STPMIN), STPMAX);
+  ls_init(st);
+  set_trial(st, x, st->stp);
   return 0;
 }
 
@@ -147,30 +300,8 @@ int accept(State* st, double* x, double f, const double* g) {
     }
   }
   st->iter++;
-  double step_norm = 0.0;
-  for (int j = 0; j < n; ++j)
-    step_norm = std::max(step_norm, std::fabs(st->stp * st->d[j]));
-  if (step_norm < st->step_tol) return 1;
   st->phase = NEW_DIRECTION;
   return begin_direction(st, x, f, g);
-}
-
-// Cubic/bisection interpolation inside [lo, hi] (order-agnostic), guarded so
-// the trial stays a fraction inside the interval.
-double interp(double lo, double f_lo, double dg_lo, double hi, double f_hi) {
-  const double d1 = hi - lo;
-  double trial;
-  // quadratic using f_lo, dg_lo, f_hi
-  const double denom = 2.0 * (f_hi - f_lo - dg_lo * d1);
-  if (denom != 0.0 && std::isfinite(f_hi)) {
-    trial = lo - dg_lo * d1 * d1 / denom;
-  } else {
-    trial = lo + 0.5 * d1;
-  }
-  const double a = std::min(lo, hi), b = std::max(lo, hi);
-  const double guard = 0.1 * (b - a);
-  if (!(trial > a + guard && trial < b - guard)) trial = 0.5 * (a + b);
-  return trial;
 }
 
 }  // namespace
@@ -190,10 +321,10 @@ void* lbfgs_create(int n, int m) {
 
 void lbfgs_destroy(void* h) { delete static_cast<State*>(h); }
 
-void lbfgs_set_tols(void* h, double grad_tol, double step_tol, int max_ls) {
+void lbfgs_set_tols(void* h, double grad_tol, double xtol, int max_ls) {
   State* st = static_cast<State*>(h);
   st->grad_tol = grad_tol;
-  st->step_tol = step_tol;
+  st->xtol = xtol;
   st->max_ls = max_ls;
 }
 
@@ -210,76 +341,92 @@ int lbfgs_step(void* h, double* x, double f, const double* g) {
 
   if (st->phase == NEW_DIRECTION) return begin_direction(st, x, f, g);
 
-  // ---- a line-search trial at x = x0 + stp·d just got evaluated -----------
+  // ---- MCSRCH: a trial at x = x0 + stp·d just got evaluated ---------------
   st->ls_iter++;
-  const double dg = dot(st->d.data(), g, n);
-  const bool finite = std::isfinite(f);
-  const bool armijo = finite && f <= st->f0 + C1 * st->stp * st->dg0;
-  const bool wolfe = finite && std::fabs(dg) <= -C2 * st->dg0;
-
-  if (st->ls_iter >= st->max_ls) {
-    if (armijo) return accept(st, x, f, g);  // settle for sufficient decrease
-    std::memcpy(x, st->x_best.data(), n * sizeof(double));
-    return 2;
-  }
-
-  if (st->phase == BRACKET) {
-    if (!finite || !armijo || (st->prev_stp > 0.0 && f >= st->prev_f)) {
-      // minimum bracketed between prev and stp → zoom
-      st->phase = ZOOM;
-      st->lo = st->prev_stp;
-      st->f_lo = st->prev_f;
-      st->dg_lo = st->prev_dg;
-      st->hi = st->stp;
-      st->f_hi = finite ? f : HUGE_VAL;
-      set_trial(st, x, interp(st->lo, st->f_lo, st->dg_lo, st->hi, st->f_hi));
-      return 0;
+  if (!std::isfinite(f)) {
+    // outside MT's assumptions (the reference Fortran would propagate the
+    // NaN); retreat toward the best endpoint and retry
+    if (st->ls_iter >= st->max_ls) {
+      std::memcpy(x, st->x_best.data(), n * sizeof(double));
+      return 2;
     }
-    if (wolfe) return accept(st, x, f, g);
-    if (dg >= 0.0) {
-      st->phase = ZOOM;
-      st->lo = st->stp;
-      st->f_lo = f;
-      st->dg_lo = dg;
-      st->hi = st->prev_stp;
-      st->f_hi = st->prev_f;
-      set_trial(st, x, interp(st->lo, st->f_lo, st->dg_lo, st->hi, st->f_hi));
-      return 0;
-    }
-    // keep expanding
-    st->prev_stp = st->stp;
-    st->prev_f = f;
-    st->prev_dg = dg;
-    set_trial(st, x, 2.0 * st->stp);
+    set_trial(st, x, st->stx + 0.1 * (st->stp - st->stx));
     return 0;
   }
+  const double dg = dot(st->d.data(), g, n);
+  const double dgtest = FTOL * st->dg0;
+  const double ftest1 = st->f0 + st->stp * dgtest;
 
-  // ---- ZOOM ---------------------------------------------------------------
-  if (!finite || !armijo || f >= st->f_lo) {
-    st->hi = st->stp;
-    st->f_hi = finite ? f : HUGE_VAL;
-  } else {
-    if (wolfe) return accept(st, x, f, g);
-    if (dg * (st->hi - st->lo) >= 0.0) {
-      st->hi = st->lo;
-      st->f_hi = st->f_lo;
-    }
-    st->lo = st->stp;
-    st->f_lo = f;
-    st->dg_lo = dg;
-  }
-  if (std::fabs(st->hi - st->lo) < st->step_tol * std::max(1.0, std::fabs(st->lo))) {
-    // interval collapsed: take lo if it improved, else fail
-    if (st->f_lo < st->f0) {
-      set_trial(st, x, st->lo);
-      // caller will re-evaluate at lo; accept on next call via max_ls path
-      st->ls_iter = st->max_ls - 1;
-      return 0;
-    }
+  // termination tests (MCSRCH INFO codes)
+  int info = 0;
+  if ((st->brackt && (st->stp <= st->stmin || st->stp >= st->stmax)))
+    info = 6;  // rounding errors prevent progress
+  if (st->stp == STPMAX && f <= ftest1 && dg <= dgtest) info = 5;
+  if (st->stp == STPMIN && (f > ftest1 || dg >= dgtest)) info = 4;
+  if (st->ls_iter >= st->max_ls) info = 3;
+  if (st->brackt && st->stmax - st->stmin <= st->xtol * st->stmax) info = 2;
+  if (f <= ftest1 && std::fabs(dg) <= GTOL * (-st->dg0)) info = 1;
+
+  if (info == 1) return accept(st, x, f, g);
+  if (info != 0) {
+    // lbfgs.f maps INFO≠1 to IFLAG=-1 "line search failed"; keep the best
+    // point seen (richer than the Fortran, which just stops)
+    if (f < st->f0) return accept(st, x, f, g);
     std::memcpy(x, st->x_best.data(), n * sizeof(double));
     return 2;
   }
-  set_trial(st, x, interp(st->lo, st->f_lo, st->dg_lo, st->hi, st->f_hi));
+
+  // stage 1 → stage 2 transition
+  if (st->stage1 && f <= ftest1 && dg >= std::min(FTOL, GTOL) * st->dg0)
+    st->stage1 = false;
+
+  // trial-step update — modified function in stage 1 when f is still above
+  // the sufficient-decrease line but below fx
+  bool ok;
+  if (st->stage1 && f <= st->fx && f > ftest1) {
+    double fm = f - st->stp * dgtest;
+    double fxm = st->fx - st->stx * dgtest;
+    double fym = st->fy - st->sty * dgtest;
+    const double dgm = dg - dgtest;
+    double dxm = st->dx - dgtest;
+    double dym = st->dy - dgtest;
+    ok = cstep(st->stx, fxm, dxm, st->sty, fym, dym, st->stp, fm, dgm,
+               st->brackt, st->stmin, st->stmax);
+    st->fx = fxm + st->stx * dgtest;
+    st->fy = fym + st->sty * dgtest;
+    st->dx = dxm + dgtest;
+    st->dy = dym + dgtest;
+  } else {
+    ok = cstep(st->stx, st->fx, st->dx, st->sty, st->fy, st->dy, st->stp, f,
+               dg, st->brackt, st->stmin, st->stmax);
+  }
+  if (!ok) {
+    if (f < st->f0) return accept(st, x, f, g);
+    std::memcpy(x, st->x_best.data(), n * sizeof(double));
+    return 2;
+  }
+
+  // force sufficient decrease of the interval width
+  if (st->brackt) {
+    if (std::fabs(st->sty - st->stx) >= 0.66 * st->width1)
+      st->stp = st->stx + 0.5 * (st->sty - st->stx);
+    st->width1 = st->width;
+    st->width = std::fabs(st->sty - st->stx);
+  }
+
+  // bounds for the next trial
+  if (st->brackt) {
+    st->stmin = std::min(st->stx, st->sty);
+    st->stmax = std::max(st->stx, st->sty);
+  } else {
+    st->stmin = st->stx;
+    st->stmax = st->stp + XTRAPF * (st->stp - st->stx);
+  }
+  st->stp = std::min(std::max(st->stp, STPMIN), STPMAX);
+  if (st->brackt && (st->stp <= st->stmin || st->stp >= st->stmax))
+    st->stp = st->stx;  // next evaluation at the best point (MCSRCH guard)
+
+  set_trial(st, x, st->stp);
   return 0;
 }
 

@@ -47,9 +47,15 @@ from gpc_tpu.ops.chol_pallas import chol_inv_block
 
 class Policy(NamedTuple):
     """Precision/schedule knobs for the fused evidence sweep."""
-    base: int = 256       # leaf block size (Pallas in-VMEM factor)
+    base: int = 256       # leaf block size
     bf16: bool = True     # bf16-input/f32-accum update & panel GEMMs
-    leafinv: bool = True  # Pallas leaf chol+inverse (solves become GEMMs)
+    # leaf inverse mode — with an explicit L_leaf⁻¹ every panel solve becomes
+    # a GEMM (the MAGMA dtrtri trick; the reference's own dpotri habit,
+    # CMatrix.cpp:421-442).  False: plain XLA chol + triangular solves
+    # (differentiable).  "pallas": one in-VMEM kernel returns (L, L⁻¹).
+    # "xla": XLA chol + trsm-vs-identity (differentiable, no Pallas).
+    # True is accepted as an alias of "pallas".
+    leafinv: object = "pallas"
     stack: bool = True    # one stacked corr GEMM per block vs one per ancestor
 
 
@@ -64,7 +70,7 @@ def _mmp(a, b, transpose_b=False, *, bf16):
                                dims, preferred_element_type=jnp.float32)
     prec = (lax.Precision.HIGH if a.dtype == jnp.float32
             else lax.Precision.HIGHEST)
-    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
+    return lax.dot_general(a, b, dims, preferred_element_type=a.dtype,
                            precision=prec)
 
 
@@ -80,13 +86,19 @@ def _interpret():
 
 def _leaf(A, b, pol: Policy):
     """Factor one diagonal leaf; returns (tree, v = L⁻¹b, Σ log diag L)."""
-    if pol.leafinv:
+    mode = "pallas" if pol.leafinv is True else pol.leafinv
+    if mode == "pallas":
         L, M = chol_inv_block(A, interpret=_interpret())
-        v = jnp.matmul(M, b, preferred_element_type=jnp.float32)
-        return ("leaf", L, M), v, jnp.sum(jnp.log(jnp.diagonal(L)))
-    L = jnp.linalg.cholesky(A)
-    return (("leaf", L, None), solve_triangular(L, b, lower=True),
-            jnp.sum(jnp.log(jnp.diagonal(L))))
+    elif mode == "xla":
+        L = jnp.linalg.cholesky(A)
+        M = solve_triangular(L, jnp.eye(A.shape[0], dtype=A.dtype),
+                             lower=True)
+    else:
+        L = jnp.linalg.cholesky(A)
+        return (("leaf", L, None), solve_triangular(L, b, lower=True),
+                jnp.sum(jnp.log(jnp.diagonal(L))))
+    v = jnp.matmul(M, b, preferred_element_type=A.dtype)
+    return ("leaf", L, M), v, jnp.sum(jnp.log(jnp.diagonal(L)))
 
 
 def _solve_rt(B, tree, pol: Policy):

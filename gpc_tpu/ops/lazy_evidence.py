@@ -134,7 +134,15 @@ def kern_block_fn(kern, p, X, ridge=0.0):
     from the kernel's vectorized tile compute (white-free off the diagonal,
     CKern.cpp:695-728 discipline), with the white variance + an optional
     extra ridge added on diagonal blocks only.  Lets `evidence_fused_lazy` /
-    `evidence_fused_left` serve the whole kernel zoo, not just RBF."""
+    `evidence_fused_left` serve the whole kernel zoo, not just RBF.
+
+    Invariant relied on here (and verified per kernel class in
+    tests/test_lazy_evidence.py): `kern.diag(p, X)` must equal the diagonal
+    of `kern.compute(p, X, X)` plus `kern.white(p)` — i.e. the dense path's
+    gram() diagonal overwrite is exactly the white shift.  A kernel whose
+    diag() deviates from its compute() diagonal (e.g. distance clamping on
+    the diagonal) would make this lazy evidence silently diverge from the
+    gram()-based evidence."""
     shift = kern.white(p) + ridge
 
     def kfn(i0, j0, bi, bj):
@@ -150,13 +158,23 @@ def kern_block_fn(kern, p, X, ridge=0.0):
 
 def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     """(logdet, quad) for K = kern(X) + ridge·I with Gram tiles fused into
-    the factorization — the general-kernel version of `rbf_evidence_lazy`."""
+    the factorization — the general-kernel version of `rbf_evidence_lazy`.
+
+    Differentiable (the stacked left-looking engine in ops/evidence_fast
+    with leafinv off is pure jnp), so large-N GP-LVM NLMLs can jax.grad
+    through it.  GPC_TPU_BF16_EVIDENCE=1 opts the O(N³) update GEMMs into
+    bf16-input/f32-accum (~2× at ~1e-4 logdet drift, tools/tpu_fast_sweep3) —
+    speed runs only, never parity."""
+    import os
+
     n = X.shape[0]
     on_tpu = jax.default_backend() != "cpu"
     if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
+        from gpc_tpu.ops.evidence_fast import Policy, evidence_left_fast
+        bf16 = os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1"
         kfn = kern_block_fn(kern, p, X, ridge)
-        logdet, quad, _L = evidence_fused_left(kfn, n, m)
-        return logdet, quad
+        return evidence_left_fast(
+            kfn, n, m, Policy(base=BASE, bf16=bf16, leafinv=False, stack=True))
     from gpc_tpu.ops.chol_blocked import evidence_fused
     K = kern.compute(p, X, X) + (kern.white(p) + ridge) * jnp.eye(
         n, dtype=X.dtype)

@@ -1,6 +1,7 @@
 """Lazy-Gram fused evidence ≡ dense Gram + Cholesky (ops/lazy_evidence.py)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gpc_tpu.ops.lazy_evidence import (
@@ -96,3 +97,64 @@ def test_kern_block_fn_general_kernel():
     ld, quad = kern_evidence_lazy(kern, p, X, m, force=True)
     assert abs(float(ld) - want_ld) < 1e-8 * abs(want_ld)
     assert abs(float(quad) - want_quad) < 1e-8 * abs(want_quad)
+
+
+def test_kern_diag_invariant_all_kernels():
+    """kern_block_fn's invariant: diag(p, X) == diagonal of compute(p, X, X)
+    + white(p) for every leaf kernel class — the lazy evidence adds white on
+    diagonal blocks only and relies on compute() for the rest."""
+    from gpc_tpu import kernels as K
+
+    rng = np.random.default_rng(7)
+    q = 3
+    X = jnp.asarray(rng.standard_normal((16, q)))
+    leaves = [K.White(input_dim=q), K.WhiteFixed(input_dim=q),
+              K.Bias(input_dim=q), K.Rbf(input_dim=q), K.Exp(input_dim=q),
+              K.RatQuad(input_dim=q), K.Matern32(input_dim=q),
+              K.Matern52(input_dim=q), K.Lin(input_dim=q), K.Mlp(input_dim=q),
+              K.Poly(input_dim=q), K.Linard(input_dim=q),
+              K.Rbfard(input_dim=q), K.Mlpard(input_dim=q),
+              K.Polyard(input_dim=q)]
+    for leaf in leaves:
+        kern = K.Cmpnd(input_dim=q, components=(leaf,))
+        p = jnp.asarray(kern.default_params())
+        got = np.diag(np.asarray(kern.compute(p, X, X))) + float(kern.white(p))
+        want = np.asarray(kern.diag(p, X))
+        # Exp (OU) is first-order in r at r=0: the dist2 roundoff (~1e-16)
+        # becomes ~1e-8 through the sqrt, so its compute() diagonal deviates
+        # from diag() by ~sqrt(eps) — documented slack; all smooth kernels
+        # (second-order at r=0) hold the invariant to full precision.
+        rtol = 1e-7 if isinstance(leaf, K.Exp) else 1e-10
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-12,
+                                   err_msg=type(leaf).__name__)
+
+
+def test_kern_evidence_lazy_differentiable():
+    """jax.grad through the lazy fused evidence (the large-N GP-LVM training
+    path) matches the dense-gram gradient — including d/dX."""
+    from gpc_tpu import kernels as K
+    from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
+    from gpc_tpu import linalg
+
+    rng = np.random.default_rng(8)
+    n, q, d = 768, 2, 2
+    X0 = jnp.asarray(rng.standard_normal((n, q)))
+    m = jnp.asarray(rng.standard_normal((n, d)))
+    kern = K.Cmpnd(input_dim=q, components=(
+        K.Rbf(input_dim=q), K.Bias(input_dim=q), K.White(input_dim=q)))
+    p0 = jnp.asarray(kern.default_params())
+
+    def lazy_obj(p, X):
+        ld, quad = kern_evidence_lazy(kern, p, X, m, force=True)
+        return quad + d * ld
+
+    def dense_obj(p, X):
+        Kd = kern.gram(p, X)
+        L, _ = linalg.jitchol(Kd)
+        return linalg.quad_form(L, m) + d * linalg.chol_logdet(L)
+
+    gl_p, gl_X = jax.grad(lazy_obj, argnums=(0, 1))(p0, X0)
+    gd_p, gd_X = jax.grad(dense_obj, argnums=(0, 1))(p0, X0)
+    np.testing.assert_allclose(np.asarray(gl_p), np.asarray(gd_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gl_X), np.asarray(gd_X),
+                               rtol=1e-6, atol=1e-10)

@@ -73,16 +73,19 @@ def main():
               flush=True)
         return out
 
-    for noise in (0.1, 0.03):
-        ref = run("f32H  b256 noinv stack", Policy(256, False, False, True), noise)
-        for name, pol in [
-            ("bf16  b256 noinv stack", Policy(256, True, False, True)),
-            ("bf16  b256 inv stack", Policy(256, True, True, True)),
-        ]:
-            got = run(name, pol, noise)
-            rel = np.abs(got - ref) / np.abs(ref)
-            print(f"    rel err vs f32H: logdet {rel[0]:.2e}  quad {rel[1]:.2e}",
-                  flush=True)
+    noise = 0.1
+    ref = run("f32H  b256 noinv stack", Policy(256, False, False, True), noise)
+    for name, pol in [
+        ("bf16  b256 noinv stack", Policy(256, True, False, True)),
+        ("bf16  b256 xlainv stack", Policy(256, True, "xla", True)),
+        ("bf16  b256 pallasinv stack", Policy(256, True, "pallas", True)),
+        ("bf16  b512 noinv stack", Policy(512, True, False, True)),
+        ("bf16  b512 xlainv stack", Policy(512, True, "xla", True)),
+    ]:
+        got = run(name, pol, noise)
+        rel = np.abs(got - ref) / np.abs(ref)
+        print(f"    rel err vs f32H: logdet {rel[0]:.2e}  quad {rel[1]:.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":
