@@ -84,31 +84,46 @@ def main():
 
     # bf16-input/f32-accum update GEMMs + bf16 panel storage + one stacked
     # correction GEMM per block, Gram tiles fused into the factorization
-    # schedule (left-looking: lower triangle only, no N² HBM pass).  Measured
-    # (tools/tpu_fast_sweep3.py, same session): 44.3 ms vs 65.0 ms f32-HIGH
-    # at N=16k — 90.6% of the same-session matmul roofline, logdet/quad
-    # within 6e-5/1.5e-4 of the f32-HIGH value.  The Pallas leaf-inverse
-    # variant (leafinv=True) measured slower end to end (50.4 ms).
-    pol = Policy(base=256, bf16=on_tpu, leafinv=False, stack=True)
+    # schedule (left-looking: lower triangle only, no N² HBM pass).  The best
+    # leaf schedule depends on the session's MXU-vs-overhead balance (the
+    # shared TPU pool varies ~4× run to run, tools/tpu_fast_sweep3.py), so
+    # the bench AUTOTUNES over the measured top policies: explicit XLA leaf
+    # inverses (every panel solve a GEMM — 41 ms / 98-99% of roofline in the
+    # slow-session sweep) vs plain XLA chol leaves (44.3 ms there), at leaf
+    # 256 and 512.  Accuracy: logdet/quad within ~1e-4/5e-4 of f32-HIGH.
+    candidates = ([Policy(256, True, "xla", True),
+                   Policy(512, True, "xla", True),
+                   Policy(256, True, False, True)] if on_tpu
+                  else [Policy(256, False, False, True)])
 
-    def evidence(X, m):
-        kfn = rbf_block_fn(X, inv_width, variance, noise)
-        logdet, quad = evidence_left_fast(kfn, N, m, pol)
-        return quad + logdet
+    def make_pipe(pol):
+        def evidence(X, m):
+            kfn = rbf_block_fn(X, inv_width, variance, noise)
+            logdet, quad = evidence_left_fast(kfn, N, m, pol)
+            return quad + logdet
 
-    @jax.jit
-    def pipe_chain(X, m):
-        def body(_, carry):
-            acc, Xc = carry
-            e = evidence(Xc, m)
-            # fold the result back into X so every rep depends on the previous
-            return acc + e, Xc + (e * 0.0)
-        return jax.lax.fori_loop(0, reps, body, (jnp.zeros((), dtype), X))[0]
+        @jax.jit
+        def pipe_chain(X, m):
+            def body(_, carry):
+                acc, Xc = carry
+                e = evidence(Xc, m)
+                # fold the result into X so every rep depends on the previous
+                return acc + e, Xc + (e * 0.0)
+            return jax.lax.fori_loop(0, reps, body,
+                                     (jnp.zeros((), dtype), X))[0]
+        return pipe_chain
 
-    val = sync(pipe_chain(X, m))  # compile + warm
-    t0 = time.perf_counter()
-    sync(pipe_chain(X, m))
-    t_pipe = (time.perf_counter() - t0) / reps
+    t_pipe, val = None, None
+    for pol in candidates:
+        pipe = make_pipe(pol)
+        v = sync(pipe(X, m))  # compile + warm
+        t0 = time.perf_counter()
+        sync(pipe(X, m))
+        t = (time.perf_counter() - t0) / reps
+        print(f"# candidate {pol.base}/{pol.leafinv or 'chol'}: {t*1e3:.1f} ms",
+              file=sys.stderr)
+        if t_pipe is None or t < t_pipe:
+            t_pipe, val = t, v
 
     # accuracy gate: the mixed-precision value must agree with the f32-HIGH
     # evidence — a wrong fast number is not a benchmark result

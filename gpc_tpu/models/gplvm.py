@@ -290,8 +290,14 @@ class GPLVM:
         if verbose > 2 and int(np.asarray(self.theta).size) < 40:
             from gpc_tpu.optim.checkgrad import check_gradients
             check_gradients(vag, self.theta)
+        from gpc_tpu.utils import aot_cache
+        key = aot_cache.digest(
+            "gplvm", repr(self.spec), self.y, self.noise_bias,
+            self.fixed_scales,
+            self.bK if self.bK is not None else (),
+            self.dyn_params_fixed if self.dyn_params_fixed is not None else ())
         res = run_optimiser(optimiser, vag, self.theta, iters,
-                            param_tol=param_tol, obj_tol=obj_tol)
+                            param_tol=param_tol, obj_tol=obj_tol, aot_key=key)
         self.theta = jnp.asarray(res.x)
         return res
 
