@@ -234,12 +234,14 @@ def read_gp_mat(path, X=None, y=None):
     num_active = int(_scalar(gi, "k"))
     learn_scales = bool(int(_scalar(gi, "learnScales")))
     inducing_fixed = bool(int(_scalar(gi, "fixInducing", 0.0)))
-    Xd = d.get("X", np.zeros((N, q)) if X is None else X)
-    yd = d.get("y", np.zeros((N, D)) if y is None else y)
-    if X is not None:
-        Xd = X
-    if y is not None:
-        yd = y
+    Xd = X if X is not None else d.get("X")
+    yd = y if y is not None else d.get("y")
+    if Xd is None or yd is None:
+        # unlike the text-model CLI path (which always re-attaches data,
+        # gp.cpp:620-622), a .mat model may arrive data-free; refusing beats
+        # silently building the objective on zeros
+        raise ValueError(
+            "read_gp_mat: the .mat file carries no X/y — pass X= and y=")
     model = GP(kern, np.asarray(Xd), np.asarray(yd), approx=approx,
                num_active=num_active, learn_scales=learn_scales,
                centre=False, inducing_fixed=inducing_fixed)

@@ -386,14 +386,8 @@ class GP:
         if verbose > 2 and int(np.asarray(self.theta).size) < 40:
             from gpc_tpu.optim.checkgrad import check_gradients
             check_gradients(vag, self.theta)
-        # AOT-cache key: everything the objective closes over (utils.aot_cache)
-        from gpc_tpu.utils import aot_cache
-        key = aot_cache.digest("gp", repr(self.spec), self.X, self.y,
-                               self.bias, self.fixed_scales,
-                               self.X_u_fixed if self.X_u_fixed is not None
-                               else ())
         res = run_optimiser(optimiser, vag, self.theta, iters,
-                            param_tol=param_tol, obj_tol=obj_tol, aot_key=key)
+                            param_tol=param_tol, obj_tol=obj_tol)
         self.theta = jnp.asarray(res.x)
         return res
 

@@ -139,9 +139,13 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     # README.md:412-414): fuse the Gram tiles into the blocked factorization
     # (ops/lazy_evidence) so K never takes a standalone N² HBM pass and the
     # evidence differentiates through pure-jnp GEMM/chol ops.  The dense
-    # jitchol path (escalating jitter) remains the CPU/parity route.
+    # jitchol path (escalating jitter) remains the CPU/parity route; on the
+    # lazy path a transiently non-PD K yields a NaN objective, which SCG
+    # rejects as a failed step (λ growth — optim/scg.py NaN handling) instead
+    # of re-jittering.
     import jax as _jax
-    if (_jax.default_backend() != "cpu" and N % 256 == 0 and N > 512):
+    from gpc_tpu.ops.chol_blocked import BASE as _BASE
+    if (_jax.default_backend() != "cpu" and N % _BASE == 0 and N > 2 * _BASE):
         from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
         logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m)
         Lacc = quad + D * logdet
@@ -290,14 +294,8 @@ class GPLVM:
         if verbose > 2 and int(np.asarray(self.theta).size) < 40:
             from gpc_tpu.optim.checkgrad import check_gradients
             check_gradients(vag, self.theta)
-        from gpc_tpu.utils import aot_cache
-        key = aot_cache.digest(
-            "gplvm", repr(self.spec), self.y, self.noise_bias,
-            self.fixed_scales,
-            self.bK if self.bK is not None else (),
-            self.dyn_params_fixed if self.dyn_params_fixed is not None else ())
         res = run_optimiser(optimiser, vag, self.theta, iters,
-                            param_tol=param_tol, obj_tol=obj_tol, aot_key=key)
+                            param_tol=param_tol, obj_tol=obj_tol)
         self.theta = jnp.asarray(res.x)
         return res
 

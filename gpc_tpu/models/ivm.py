@@ -119,7 +119,10 @@ def select_points(spec: IvmSpec, kern_params, noise_params, X, y,
         # preserves order, so inactive stays index-sorted)
         r = rand_vals[k]
         n_inactive = N - k
-        target = jnp.floor(r * n_inactive).astype(jnp.int32)
+        # clamp like select_point_remove: in f32 a draw ≥ 1−2⁻²⁵ rounds to
+        # 1.0 and floor(r·n) == n would match no inactive point
+        target = jnp.minimum(jnp.floor(r * n_inactive),
+                             n_inactive - 1).astype(jnp.int32)
         rank = jnp.cumsum(~mask) - 1  # rank among inactive
         rand_index = jnp.argmax((rank == target) & ~mask)
         if spec.selection == ENTROPY:

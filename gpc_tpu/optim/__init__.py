@@ -22,15 +22,11 @@ class OptResult(NamedTuple):
 
 
 def run_optimiser(name: str, value_and_grad_fn, x0, max_iters: int,
-                  param_tol: float = 1e-6, obj_tol: float = 1e-6,
-                  aot_key=None) -> OptResult:
-    """Run the named optimizer; returns a uniform (x, obj, iters) result.
-
-    `aot_key` (SCG only): content digest of the objective's closure (data +
-    model structure) enabling the warm-start AOT program cache."""
+                  param_tol: float = 1e-6, obj_tol: float = 1e-6) -> OptResult:
+    """Run the named optimizer; returns a uniform (x, obj, iters) result."""
     if name == "scg":
         r = scg(value_and_grad_fn, x0, max_iters=max_iters,
-                param_tol=param_tol, obj_tol=obj_tol, aot_key=aot_key)
+                param_tol=param_tol, obj_tol=obj_tol)
         return OptResult(r.x, r.obj, r.iters)
     if name == "conjgrad":
         r = cg(value_and_grad_fn, x0, max_iters=max_iters)

@@ -67,25 +67,15 @@ def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
     constants, forcing a full while_loop recompile on every call, while args
     are traced — one compile per (fn identity, shapes).
 
-    `aot_key`: optional content digest of everything the program closes over
-    (data, model structure).  When given, the whole SCG program round-trips
-    through utils.aot_cache so warm CLI runs skip trace+lower entirely.
+    `aot_key` is accepted and ignored: a jax.export-based warm-start trace
+    skip was built and removed in round 2 — executing a DESERIALIZED exported
+    program cross-process segfaults in this image's XLA:CPU build (inside the
+    compiled call, with or without the persistent compilation cache), so the
+    ~0.7 s trace+lower on warm runs is currently irreducible.
     """
-    x0 = jnp.asarray(x0)
-    args = tuple(jnp.asarray(a) for a in args)
-    max_iters = int(max_iters)
-    param_tol = float(param_tol)
-    if aot_key is not None:
-        from gpc_tpu.utils import aot_cache
-
-        res = aot_cache.call_exported(
-            aot_cache.digest("scg", aot_key, max_iters, param_tol),
-            lambda: jax.jit(lambda w0, a: _scg_run(
-                value_and_grad_fn, w0, a, max_iters, param_tol)),
-            (x0, args))
-        if res is not None:
-            return ScgResult(*res)
-    return _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol)
+    return _scg_run(value_and_grad_fn, jnp.asarray(x0),
+                    tuple(jnp.asarray(a) for a in args),
+                    int(max_iters), float(param_tol))
 
 
 @functools.partial(jax.jit,

@@ -34,7 +34,8 @@ from gpc_tpu import ndlutil
 from gpc_tpu import priors as priors_mod
 from gpc_tpu.models.gp import GpSpec
 from gpc_tpu.parallel.chol_distributed import (
-    _gather_panel, _local_factor_step, evidence_distributed)
+    _backward_solve_sweep, _gather_panel, _local_factor_step,
+    evidence_distributed)
 from gpc_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -82,8 +83,7 @@ def make_dist_ftc_value_and_grad(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
                  - D * N_total * ndlutil.HALFLOGTWOPI)
         return -L_val
 
-    vag = jax.value_and_grad(nlml)
-    return lambda theta, X, y, mask: vag(theta, X, y, mask)
+    return jax.value_and_grad(nlml)
 
 
 def make_dist_ftc_posterior(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
@@ -145,19 +145,8 @@ def make_dist_ftc_posterior(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
         v_m = V[:, :D]            # L⁻¹m
         v_k = V[:, D:]            # L⁻¹k*
 
-        # sweep 2: backward solve for alpha = L⁻ᵀ (L⁻¹ m)
-        def body2(t, alpha):
-            j = n_dev - 1 - t
-            j32 = jnp.asarray(j, jnp.int32)
-            panel = _gather_panel(L_local, j, B)
-            L_jj = lax.dynamic_slice(panel, (j32 * B, zero), (B, B))
-            a_j = lax.dynamic_slice(alpha, (j32 * B, zero), (B, D))
-            below = (jnp.arange(N) >= (j + 1) * B)[:, None]
-            rhs = a_j - panel.T @ jnp.where(below, alpha, 0.0)
-            a_j = solve_triangular(L_jj.T, rhs, lower=False)
-            return lax.dynamic_update_slice(alpha, a_j, (j32 * B, zero))
-
-        alpha = lax.fori_loop(0, n_dev, body2, v_m)
+        # sweep 2: backward solve for alpha = L⁻ᵀ (L⁻¹ m) — shared machinery
+        alpha = _backward_solve_sweep(L_local, v_m, n_dev, B, N)
 
         mu0 = kX.T @ alpha                                           # (T, D)
         kstar = spec.kern.diag(kp, Xtest)
