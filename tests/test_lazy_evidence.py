@@ -158,3 +158,33 @@ def test_kern_evidence_lazy_differentiable():
     np.testing.assert_allclose(np.asarray(gl_p), np.asarray(gd_p), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gl_X), np.asarray(gd_X),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_evidence_fast_leafinv_modes():
+    """All leaf modes of the mixed-precision engine (ops/evidence_fast)
+    agree with the dense evidence — incl. the 'xla' explicit-leaf-inverse
+    mode the TPU bench autotunes over."""
+    from gpc_tpu.ops.evidence_fast import evidence_left_fast, Policy
+
+    n, q, d = 1024, 4, 2
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((n, q)), jnp.float32)
+    m = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    iw = jnp.float32(1.0); var = jnp.float32(1.0); nz = jnp.float32(0.1)
+    kfn = rbf_block_fn(X, iw, var, nz)
+    K = kfn(0, 0, n, n)
+    L = np.linalg.cholesky(np.asarray(K, np.float64))
+    want_ld = 2 * np.sum(np.log(np.diag(L)))
+    want_q = float(np.sum(np.linalg.solve(L, np.asarray(m, np.float64)) ** 2))
+    for mode in (False, "xla", "pallas", True):
+        for base in (256, 512):
+            ld, quad = evidence_left_fast(
+                kfn, n, m, Policy(base=base, bf16=False, leafinv=mode,
+                                  stack=True))
+            assert abs(float(ld) - want_ld) < 2e-4 * abs(want_ld), (mode, base)
+            assert abs(float(quad) - want_q) < 2e-4 * abs(want_q), (mode, base)
+    # bf16 policy: logdet tight; quad amplified by κ(K)≈11 over the ~4e-3
+    # bf16 input rounding (bench gates the real-TPU drift at 1e-2)
+    ld, quad = evidence_left_fast(kfn, n, m, Policy(256, True, "xla", True))
+    assert abs(float(ld) - want_ld) < 2e-3 * abs(want_ld)
+    assert abs(float(quad) - want_q) < 5e-2 * abs(want_q)
