@@ -91,9 +91,13 @@ def main():
     # inverses (every panel solve a GEMM — 41 ms / 98-99% of roofline in the
     # slow-session sweep) vs plain XLA chol leaves (44.3 ms there), at leaf
     # 256 and 512.  Accuracy: logdet/quad within ~1e-4/5e-4 of f32-HIGH.
-    candidates = ([Policy(256, True, "xla", True),
+    # measured orderings: slow session (roof 29-36 TF/s) b1024-xla 41.7 ms <
+    # b512-xla 44.1 < b256-xla ≈ noinv; fast session (roof 132 TF/s) b512-xla
+    # 21.1 ms < b256-xla 22.7 < b256-chol 24.6 (tools/tpu_fast_sweep3.py,
+    # tpu_round2_batch.py)
+    candidates = ([Policy(1024, True, "xla", True),
                    Policy(512, True, "xla", True),
-                   Policy(256, True, False, True)] if on_tpu
+                   Policy(256, True, "xla", True)] if on_tpu
                   else [Policy(256, False, False, True)])
 
     def make_pipe(pol):
