@@ -266,21 +266,27 @@ def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
         v = linalg.tri_solve(L_K, kX)                     # L⁻¹ kX
         var0 = kstar_diag - jnp.sum(v * v, axis=0)        # (T,)
     else:
+        # All sparse branches factor A = (1/β)K_uu + K_uf·D⁻¹·K_fu through the
+        # L_uu-whitened Am = I/β + Ṽ·Ṽᵀ (Ṽ = L_uu⁻¹K_uf·D^-½), matching the
+        # evidence paths: same quantities as the reference's direct A
+        # (CGp.cpp:575-625) at cond(Am) ≪ cond(A).
         K_uu = spec.kern.gram(kp, X_u)
         K_uf = spec.kern.compute(kp, X_u, X)
         L_uu, _ = linalg.jitchol(K_uu)
+        M_ = K_uf.shape[0]
         if spec.approx == FITC:
-            V0 = linalg.chol_solve(L_uu, K_uf)
-            diagQ = jnp.sum(V0 * K_uf, axis=0)
+            V0 = linalg.tri_solve(L_uu, K_uf)             # L_uu⁻¹ K_uf
+            diagQ = jnp.sum(V0 * V0, axis=0)
             diagD = 1.0 + beta * (spec.kern.diag(kp, X) - diagQ)
-            Dinv = 1.0 / diagD
-            A = K_uu / beta + (K_uf * Dinv[None, :]) @ K_uf.T
-            rhs = K_uf @ (m * Dinv[:, None])
+            sDinv = jnp.sqrt(1.0 / diagD)
+            V = V0 * sDinv[None, :]
+            Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
+            e = V @ (m * sDinv[:, None])                  # Ṽ·D^-½·m
         elif spec.approx == PITC:
             # block-diagonal D⁻¹ applied via batched Cholesky solves; a test
             # point forms its own block, so mean/var take the FITC form with
             # PITC's A (Quiñonero-Candela & Rasmussen 2005, eq. 24-25).
-            M_, N_ = K_uf.shape
+            N_ = K_uf.shape[1]
             Bp = spec.block_size
             P = -(-N_ // Bp)
             pad = P * Bp - N_
@@ -297,23 +303,26 @@ def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
             Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
             Cb = jnp.linalg.cholesky(Db)
             from jax.scipy.linalg import solve_triangular as _st
-            Kub = jnp.transpose(Kuf_p.reshape(M_, P, Bp), (1, 2, 0))  # (P,Bp,M)
-            Wb = _st(Cb, Kub, lower=True)                  # C_b⁻¹ K_bu
-            A = K_uu / beta + jnp.einsum("pbm,pbn->mn", Wb, Wb)
+            Wb = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # C⁻¹Ṽᵀ
+            Am = (jnp.eye(M_, dtype=Wb.dtype) / beta
+                  + jnp.einsum("pbm,pbn->mn", Wb, Wb))
             m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
             sMb = _st(Cb, m_p, lower=True)
-            rhs = jnp.einsum("pbm,pbd->md", Wb, sMb)
-        else:
-            A = K_uu / beta + K_uf @ K_uf.T
-            rhs = K_uf @ m
-        L_A, _ = linalg.jitchol(A)
-        alpha = linalg.chol_solve(L_A, rhs)               # (M, D)
+            e = jnp.einsum("pbm,pbd->md", Wb, sMb)
+        else:  # DTC / DTCVAR
+            V = linalg.tri_solve(L_uu, K_uf)
+            Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
+            e = V @ m
+        L_m, _ = linalg.jitchol(Am)
+        u = linalg.chol_solve(L_m, e)                     # Am⁻¹·(Ṽ·D^-½·m)
         kX = spec.kern.compute(kp, X_u, Xtest)            # (M, T)
-        mu0 = kX.T @ alpha
-        # var = k** − k_*ᵀ(invK_uu − A⁻¹/β)k_* + 1/β (CGp.cpp:575-605)
-        w1 = linalg.tri_solve(L_uu, kX)
-        w2 = linalg.tri_solve(L_A, kX)
-        var0 = kstar_diag - jnp.sum(w1 * w1, axis=0) + jnp.sum(w2 * w2, axis=0) / beta
+        w1 = linalg.tri_solve(L_uu, kX)                   # L_uu⁻¹ k_*
+        mu0 = w1.T @ u                                    # k_*ᵀ·A⁻¹·rhs
+        # var = k** − k_*ᵀ(invK_uu − A⁻¹/β)k_* + 1/β (CGp.cpp:575-605):
+        # k_*ᵀA⁻¹k_* = ‖L_m⁻¹·L_uu⁻¹·k_*‖²
+        w2 = linalg.tri_solve(L_m, w1)
+        var0 = (kstar_diag - jnp.sum(w1 * w1, axis=0)
+                + jnp.sum(w2 * w2, axis=0) / beta)
         var0 = var0 + 1.0 / beta
 
     mu = mu0 * scales[None, :] + jnp.asarray(bias)[None, :]
