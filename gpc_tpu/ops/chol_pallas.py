@@ -27,22 +27,27 @@ except Exception:  # pragma: no cover
 
 
 def _chol_body(n):
-    # everything stays 2-D: Mosaic's layout engine rejects 1-D relayouts
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # everything stays 2-D, and the index masks stay THIN ((n,1)/(1,n)):
+    # Mosaic's layout engine rejects 1-D relayouts, and full (n,n) int32
+    # iotas cost 2·4n² bytes of VMEM stack (the 1024-leaf overflowed the
+    # 16 MB scoped limit with them — masks are now built from outer
+    # products of thin comparisons instead).
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(j, A):
-        ej = (cols == j).astype(A.dtype)                       # one-hot column
+        ej = (cols_r == j).astype(A.dtype)                     # one-hot column
         colj = jnp.sum(A * ej, axis=1, keepdims=True)          # (n, 1) = A[:, j]
         pivot = jnp.sum(jnp.where(rows_c == j, colj, 0.0),
                         keepdims=True)                         # (1, 1)
         inv_d = jax.lax.rsqrt(pivot)
         l = jnp.where(rows_c > j, colj * inv_d, 0.0)           # (n, 1)
         newcol = jnp.where(rows_c == j, pivot * inv_d, l)
-        # trailing update A[j+1:, j+1:] -= l·lᵀ
-        trail = (rows > j) & (cols > j)
-        A = A - jnp.where(trail, l * jnp.transpose(l), 0.0)
+        # trailing update A[j+1:, j+1:] -= l·lᵀ: mask each outer-product
+        # factor instead of the (n,n) product ((rows>j)&(cols>j) ≡ the
+        # outer product of the masked factors because l is zero at row ≤ j)
+        lt = jnp.where(cols_r > j, jnp.transpose(l), 0.0)      # (1, n)
+        A = A - l * lt
         # write finished column j (zeros above the diagonal)
         A = A * (1.0 - ej) + newcol * ej
         return A
@@ -67,10 +72,11 @@ def _chol_kernel(n, a_ref, out_ref):
     A = jax.lax.fori_loop(0, n // UNROLL, outer, A)
     for j in range(n - (n % UNROLL), n):  # static remainder (n % UNROLL ≠ 0)
         A = col_step(j, A)
-    # zero the strict upper triangle (untouched input remnants)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    out_ref[:] = jnp.where(cols <= rows, A, 0.0)
+    # zero the strict upper triangle (untouched input remnants); thin iotas
+    # broadcast to an (n,n) i1 mask without (n,n) int32 scratch
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_ref[:] = jnp.where(cols_r <= rows_c, A, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -93,13 +99,12 @@ def _inv_body(n):
     for j > k and the sum only touches k < i, the result is automatically
     lower-triangular — no extra masking of the output row is needed.
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, LM):
         L, M = LM
-        lrow = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0, keepdims=True)
+        lrow = jnp.sum(jnp.where(rows_c == i, L, 0.0), axis=0, keepdims=True)
         lrow_lo = jnp.where(cols_r < i, lrow, 0.0)            # L[i, :i]
         # (1,n)·(n,n) on the MXU — a (n,1)↔(1,n) transpose relayout here is
         # rejected/miscompiled by Mosaic (non-finite output on v5e).
@@ -131,9 +136,9 @@ def _chol_inv_kernel(n, a_ref, l_ref, m_ref):
     A = jax.lax.fori_loop(0, n // UNROLL, outer, A)
     for j in range(n - (n % UNROLL), n):
         A = col_step(j, A)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    L = jnp.where(cols <= rows, A, 0.0)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    L = jnp.where(cols_r <= rows_c, A, 0.0)
 
     row_step = _inv_body(n)
 

@@ -57,6 +57,13 @@ class Policy(NamedTuple):
     # True is accepted as an alias of "pallas".
     leafinv: object = "pallas"
     stack: bool = True    # one stacked corr GEMM per block vs one per ancestor
+    # prestack: keep the ancestor corrections as ONE contiguous array per
+    # subtree, concatenated ONCE at each recursion node instead of re-stacked
+    # per block.  Per-block corrections then read plain leading-dim row
+    # slices of that array (no per-block concat copies): the O(N³/base) bytes
+    # of stacked-operand materialization drop to O(N²·log(N/base)) node-level
+    # copies.  Implies `stack` semantics.
+    prestack: bool = False
 
 
 DEFAULT = Policy()
@@ -163,11 +170,54 @@ def _chol_left(kfn, n, b, corr, pol: Policy):
     return ("node", treeL, store, treeR), jnp.concatenate([v1, v2]), ld1 + ld2
 
 
+def _corr_pre(kfn, i0, j0, bi, bj, C, off, pol: Policy):
+    """Raw K block minus the corrections read from ONE prestacked array.
+
+    `C` holds every finished ancestor panel side by side (rows aligned so the
+    current submatrix's row i is C[off + i]); the correction is a single GEMM
+    whose operands are plain leading-dim row slices — no per-block concat."""
+    A = kfn(i0, j0, bi, bj)
+    if C is None:
+        return A
+    P = lax.slice_in_dim(C, off + i0, off + i0 + bi)
+    Q = lax.slice_in_dim(C, off + j0, off + j0 + bj)
+    return A - _mmp(P, Q, transpose_b=True, bf16=pol.bf16)
+
+
+def _chol_left_pre(kfn, n, b, C, off, pol: Policy):
+    """`_chol_left` with the prestacked-corr schedule (Policy.prestack).
+
+    Identical math and leaf handling; the only difference is WHERE operand
+    stacking happens: once per node (the right subtree's corr array is the
+    parent's rows hstacked with the fresh L21 panel) instead of once per
+    block.  Trace-time op count O((n/base)²)."""
+    if n <= pol.base:
+        return _leaf(_corr_pre(kfn, 0, 0, n, n, C, off, pol), b, pol)
+    h = n // 2
+    treeL, v1, ld1 = _chol_left_pre(kfn, h, b[:h], C, off, pol)
+    A21 = _corr_pre(kfn, h, 0, n - h, h, C, off, pol)
+    L21 = _solve_rt(A21, treeL, pol)
+    store = L21.astype(jnp.bfloat16) if pol.bf16 else L21
+    kfn22 = lambda i0, j0, bi, bj: kfn(h + i0, h + j0, bi, bj)
+    if C is None:
+        C22, off22 = store, 0
+    else:
+        C22 = jnp.concatenate(
+            [lax.slice_in_dim(C, off + h, off + n), store], axis=1)
+        off22 = 0
+    treeR, v2, ld2 = _chol_left_pre(
+        kfn22, n - h, b[h:] - _mmp(L21, v1, bf16=pol.bf16), C22, off22, pol)
+    return ("node", treeL, store, treeR), jnp.concatenate([v1, v2]), ld1 + ld2
+
+
 def evidence_left_fast(kfn, n, m, pol: Policy = DEFAULT):
     """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for the lazily materialized SPD K of size n.
 
     `kfn(i0, j0, bi, bj)` returns the raw K block at static offsets (see
     lazy_evidence.rbf_block_fn / kern_block_fn).  L is never assembled.
     """
-    _tree, v, logdiag = _chol_left(kfn, n, m, (), pol)
+    if getattr(pol, "prestack", False):
+        _tree, v, logdiag = _chol_left_pre(kfn, n, m, None, 0, pol)
+    else:
+        _tree, v, logdiag = _chol_left(kfn, n, m, (), pol)
     return 2.0 * logdiag, jnp.sum(v * v)

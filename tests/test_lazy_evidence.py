@@ -178,11 +178,14 @@ def test_evidence_fast_leafinv_modes():
     want_q = float(np.sum(np.linalg.solve(L, np.asarray(m, np.float64)) ** 2))
     for mode in (False, "xla", "pallas", True):
         for base in (256, 512):
-            ld, quad = evidence_left_fast(
-                kfn, n, m, Policy(base=base, bf16=False, leafinv=mode,
-                                  stack=True))
-            assert abs(float(ld) - want_ld) < 2e-4 * abs(want_ld), (mode, base)
-            assert abs(float(quad) - want_q) < 2e-4 * abs(want_q), (mode, base)
+            for pre in (False, True):
+                ld, quad = evidence_left_fast(
+                    kfn, n, m, Policy(base=base, bf16=False, leafinv=mode,
+                                      stack=True, prestack=pre))
+                assert abs(float(ld) - want_ld) < 2e-4 * abs(want_ld), (
+                    mode, base, pre)
+                assert abs(float(quad) - want_q) < 2e-4 * abs(want_q), (
+                    mode, base, pre)
     # bf16 policy: logdet tight; quad amplified by κ(K)≈11 over the ~4e-3
     # bf16 input rounding (bench gates the real-TPU drift at 1e-2)
     ld, quad = evidence_left_fast(kfn, n, m, Policy(256, True, "xla", True))
