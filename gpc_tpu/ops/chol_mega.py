@@ -51,13 +51,15 @@ def _dotT(a, b):
     """a @ bᵀ with bf16 inputs, f32 accumulation (1-pass MXU)."""
     return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                            (((1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.DEFAULT)
 
 
 def _dot(a, b):
     return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                            (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.DEFAULT)
 
 
 def _cholinv_leaf(A):
@@ -109,34 +111,27 @@ def _factor_diag(A, b):
     solve as GEMM, trailing Schur update, then the block lower-triangular
     inverse assembled column-block by column-block (all MXU GEMMs)."""
     nb = b // LEAF
+    # split into a static LEAF-grid up front (Mosaic has no dynamic_slice on
+    # values; Python slicing lowers to static lax.slice which it supports)
+    Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
+           for j in range(nb)] for i in range(nb)]
     Ls = [[None] * nb for _ in range(nb)]   # lower blocks of L
     Ms = [[None] * nb for _ in range(nb)]   # lower blocks of L⁻¹ (diag first)
-    # elimination
+    # right-looking block elimination, all f32 HIGHEST (stays inside the
+    # diagonal block — keep the leaf factorization f32-clean)
+    def _gemmT(a, c):
+        return lax.dot_general(a, c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
+
     for p in range(nb):
-        o = p * LEAF
-        Ablk = lax.dynamic_slice(A, (o, o), (LEAF, LEAF))
-        Lp, Mp = _cholinv_leaf(Ablk)
+        Lp, Mp = _cholinv_leaf(Ab[p][p])
         Ls[p][p], Ms[p][p] = Lp, Mp
-        if p + 1 < nb:
-            below = lax.dynamic_slice(A, (o + LEAF, o), (b - o - LEAF, LEAF))
-            # f32 HIGHEST here: the panel feeds the trailing update of the
-            # SAME diagonal block — keep the leaf factorization f32-clean
-            Lbelow = lax.dot_general(
-                below, Mp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
-            for i in range(p + 1, nb):
-                Ls[i][p] = lax.dynamic_slice(
-                    Lbelow, ((i - p - 1) * LEAF, 0), (LEAF, LEAF))
-            trail = lax.dot_general(
-                Lbelow, Lbelow, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
-            A = lax.dynamic_update_slice(
-                A,
-                lax.dynamic_slice(A, (o + LEAF, o + LEAF),
-                                  (b - o - LEAF, b - o - LEAF)) - trail,
-                (o + LEAF, o + LEAF))
+        for i in range(p + 1, nb):
+            Ls[i][p] = _gemmT(Ab[i][p], Mp)
+        for i in range(p + 1, nb):
+            for j in range(p + 1, i + 1):
+                Ab[i][j] = Ab[i][j] - _gemmT(Ls[i][p], Ls[j][p])
     # block triangular inverse: M[i][j] = −M[i][i]·Σ_{j≤k<i} L[i][k]·M[k][j]
     for j in range(nb):
         for i in range(j + 1, nb):
@@ -173,8 +168,6 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
     double buffers."""
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
-    eye_b = (lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
-             lax.broadcasted_iota(jnp.int32, (1, b), 1)).astype(jnp.float32)
 
     def tri(i, j):
         return i * (i + 1) // 2 + j
@@ -184,7 +177,8 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
         Xi = xs_ref[pl.ds(i * b, b), :]
         Xj = xs_ref[pl.ds(j * b, b), :]
         G = lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
         # n2 comes in BOTH orientations as inputs: Mosaic miscompiles
         # (b,1)↔(1,b) transposes on v5e (see chol_pallas._inv_body note)
         d2 = jnp.maximum(n2_ref[pl.ds(i * b, b), :] +
@@ -233,7 +227,8 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
             # select discards it elementwise)
             Lik = lax.select(same, Ljk, lik[slot])
             A = A - lax.dot_general(Lik, Ljk, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.DEFAULT)
             return A, vacc
 
         return lax.fori_loop(0, j, kstep, (A, vacc))
@@ -251,7 +246,11 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
 
     def column(j, ld):
         # ---- diagonal block ------------------------------------------------
-        A = gram(j, j) + noise * eye_b
+        # noise ridge via thin-iota mask (no resident b×b identity constant
+        # — scoped VMEM is tight at 16 MB)
+        A = gram(j, j) + jnp.where(
+            lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
+            lax.broadcasted_iota(jnp.int32, (1, b), 1), noise, 0.0)
         vacc = jnp.zeros((b, D), jnp.float32)
         A, vacc = corr_loop(j, j, A, True, vacc)
         Ld, Md = _factor_diag(A, b)
@@ -262,16 +261,17 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                              preferred_element_type=jnp.float32,
                              precision=lax.Precision.HIGHEST)
         vbuf[pl.ds(j * b, b), :] = vj
-        MdT_bf = jnp.transpose(Md).astype(jnp.bfloat16)
+        Md_bf = Md.astype(jnp.bfloat16)
 
         # ---- off-diagonal rows --------------------------------------------
         def row(i, _):
             A = gram(i, j)
             A, _v = corr_loop(i, j, A, False,
                               jnp.zeros((b, D), jnp.float32))
-            Lij = lax.dot_general(A.astype(jnp.bfloat16), MdT_bf,
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+            Lij = lax.dot_general(A.astype(jnp.bfloat16), Md_bf,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.DEFAULT)
             write_block(i - j, tri(i, j), Lij)
             vbuf[pl.ds(i * b, b), :] = (vbuf[pl.ds(i * b, b), :]
                                         - _dot(Lij, vj.astype(jnp.bfloat16)))
@@ -295,9 +295,10 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                                   wsem.at[lax.rem(nwrites - 2, 2)]).wait()
         return ld
 
-    ld = lax.fori_loop(0, nb, column, jnp.float32(0.0))
-    ld_ref[0, 0] = ld
-    quad_ref[0, 0] = jnp.sum(vbuf[:] * vbuf[:])
+    ld = lax.fori_loop(0, nb, column, jnp.zeros((1, 1), jnp.float32))
+    ld_ref[:] = ld
+    v = vbuf[:]
+    quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("b", "interpret"))
@@ -349,6 +350,11 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pltpu.SemaphoreType.DMA((2,)),           # read sems (j)
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the kernel's resident set (streams+staging+leaf state) peaks
+            # ~17 MB transiently; raise the scoped-vmem budget above the
+            # 16 MB compiler default
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(Xs, n2, n2row, m.astype(jnp.float32), var2d, noise2d)
     del L
     return ld[0, 0], quad[0, 0]
