@@ -1,27 +1,34 @@
 """Whole-evidence Pallas mega-kernel: lazy-Gram blocked Cholesky in ONE op.
 
 The XLA-orchestrated fused evidence (ops/evidence_fast.py) reaches ~100% of
-the same-session matmul roofline on pool-throttled sessions but only ~50% on
+the same-session matmul roofline on pool-throttled sessions but only ~55% on
 healthy chips: with ~400 separate XLA ops, per-op dispatch, leaf-cholesky
 floors and operand-staging copies are invisible when the MXU is slow and
 dominant when it is fast.  This kernel runs the ENTIRE left-looking blocked
 factorization of the lazily-materialized RBF Gram matrix — tile generation,
 bf16/f32-accum Schur corrections, diagonal-leaf chol+inverse, panel solves,
-forward substitution of the RHS, logdet — as a single `pallas_call`:
+forward substitution of the RHS, logdet — as a single `pallas_call`.
 
-  for block-column j (f32 leaves of size LEAF=128 inside b=512 blocks):
-    diag:  A = K(j,j) + noise·I − Σ_k L[j,k]·L[j,k]ᵀ    (bf16 MXU, f32 acc)
-           L_jj, M_j = blocked chol + explicit inverse   (in VMEM)
-           v_j = M_j·(m_j − Σ_k L[j,k]·v_k);  logdet += 2·Σ log diag
-    rows:  A = K(i,j) − Σ_k L[i,k]·L[j,k]ᵀ               (double-buffered DMA)
-           L_ij = A·M_jᵀ;  v_i −= L_ij·v_j;  DMA out (bf16)
+Schedule (v2 — "row-panel" form; v5e has ≳120 MB of physical VMEM, far
+above the 16 MB compiler default, so whole block-rows of L stay resident):
 
-The in-VMEM leaf produces (L, L⁻¹) in ONE masked column sweep: the forward
-Gauss elimination that forms L is applied simultaneously to an identity
-block (row scale + rank-1 outer-product update — all VPU, no per-row MXU
-dot), so every later panel solve is a pure MXU GEMM.  The O(N³) work is the
-same bf16-input/f32-accumulate precision policy as evidence_fast's bench
-path; leaves are f32.
+  L's subdiagonal blocks are stored TRANSPOSED and flat-packed in HBM at
+  tri(i,j) = i(i+1)/2 + j, so block-row i's ancestors L[i,0..j) are ONE
+  contiguous (j,b,b) DMA, and every Schur correction collapses to a single
+  tall MXU dot:  reshape(row_i,(j·b,b))ᵀ · reshape(row_j,(j·b,b)) =
+  Σ_k L[i,k]·L[j,k]ᵀ.  Per column j (Python-unrolled, static widths):
+
+    diag:  A = K(j,j) + noise·I − VjᵀVj;  (L_jj, L_jj⁻¹) in VMEM;
+           v_j = L_jj⁻¹·(m_j − Vjᵀ·v[:jb]);  logdet += 2·Σ log diag
+    rows:  A = K(i,j) − ViᵀVj          (row_i double-buffered DMA)
+           L_ijᵀ = L_jj⁻¹·Aᵀ (one GEMM);  v_i −= L_ij·v_j;  DMA out
+
+The in-VMEM leaf (LEAF=128) produces (L, L⁻¹) in ONE masked column sweep:
+the forward Gauss elimination that forms L is applied simultaneously to an
+identity block (row scale + rank-1 outer-product update — all VPU, no
+per-row MXU dot), so every later panel solve is a pure MXU GEMM.  The
+O(N³) work uses the same bf16-input/f32-accumulate policy as
+evidence_fast's bench path; leaves are f32.
 
 Replaces (TPU-first) the dpotrf/dtrsv hot block of CGp::logLikelihood
 (/root/reference/CGp.cpp:920-937, CMatrix.cpp:371-412).  Forward-only:
@@ -55,11 +62,18 @@ def _dotT(a, b):
                            precision=lax.Precision.DEFAULT)
 
 
-def _dot(a, b):
+def _dotc0(a, b):
+    """aᵀ @ b (contract dim 0) with bf16 inputs, f32 accumulation."""
     return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                           (((1,), (0,)), ((), ())),
+                           (((0,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32,
                            precision=lax.Precision.DEFAULT)
+
+
+def _gemm32(a, b, dims=(((1,), (0,)), ((), ()))):
+    """Small f32 GEMM at HIGHEST (Mosaic rejects inherited HIGH)."""
+    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
 
 
 def _cholinv_leaf(A):
@@ -107,46 +121,31 @@ def _cholinv_leaf(A):
 def _factor_diag(A, b):
     """(L, L⁻¹) of a PD b×b f32 block via LEAF-blocked elimination.
 
-    Panel loop is Python-unrolled (b/LEAF panels): leaf chol+inv, panel
-    solve as GEMM, trailing Schur update, then the block lower-triangular
-    inverse assembled column-block by column-block (all MXU GEMMs)."""
+    Static LEAF-grid blocks only (Mosaic has no dynamic_slice on values):
+    leaf chol+inv, panel solves and trailing Schur updates as small GEMMs,
+    then the block lower-triangular inverse assembled column-block by
+    column-block.  Returns concatenated (L, M)."""
     nb = b // LEAF
-    # split into a static LEAF-grid up front (Mosaic has no dynamic_slice on
-    # values; Python slicing lowers to static lax.slice which it supports)
     Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
            for j in range(nb)] for i in range(nb)]
-    Ls = [[None] * nb for _ in range(nb)]   # lower blocks of L
-    Ms = [[None] * nb for _ in range(nb)]   # lower blocks of L⁻¹ (diag first)
-    # right-looking block elimination, all f32 HIGHEST (stays inside the
-    # diagonal block — keep the leaf factorization f32-clean)
-    def _gemmT(a, c):
-        return lax.dot_general(a, c, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
-
+    Ls = [[None] * nb for _ in range(nb)]
+    Ms = [[None] * nb for _ in range(nb)]
     for p in range(nb):
         Lp, Mp = _cholinv_leaf(Ab[p][p])
         Ls[p][p], Ms[p][p] = Lp, Mp
         for i in range(p + 1, nb):
-            Ls[i][p] = _gemmT(Ab[i][p], Mp)
+            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
         for i in range(p + 1, nb):
             for j in range(p + 1, i + 1):
-                Ab[i][j] = Ab[i][j] - _gemmT(Ls[i][p], Ls[j][p])
+                Ab[i][j] = Ab[i][j] - _gemm32(
+                    Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
     # block triangular inverse: M[i][j] = −M[i][i]·Σ_{j≤k<i} L[i][k]·M[k][j]
     for j in range(nb):
         for i in range(j + 1, nb):
-            acc = lax.dot_general(Ls[i][j], Ms[j][j], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.HIGHEST)
+            acc = _gemm32(Ls[i][j], Ms[j][j])
             for k in range(j + 1, i):
-                acc = acc + lax.dot_general(
-                    Ls[i][k], Ms[k][j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)
-            Ms[i][j] = -lax.dot_general(
-                Ms[i][i], acc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
+                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
+            Ms[i][j] = -_gemm32(Ms[i][i], acc)
     zero = jnp.zeros((LEAF, LEAF), A.dtype)
     L = jnp.concatenate([
         jnp.concatenate([Ls[i][j] if j <= i else zero for j in range(nb)],
@@ -158,145 +157,116 @@ def _factor_diag(A, b):
 
 
 def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
-                 noise_ref, L_ref, ld_ref, quad_ref,
-                 vbuf, stage, lik, ljk, wsem, rsem_i, rsem_j):
-    """One sequential program: the whole N=nb·b factorization.
+                 noise_ref, T_ref, ld_ref, quad_ref,
+                 vbuf, stage, rowi, rowj, wsem, rsem_i, rsem_j):
+    """One sequential program: the whole N=nb·b factorization (v2 schedule).
 
-    L_ref: HBM (ANY) output holding the lower blocks flat-packed at
-    tri(i,j) = i(i+1)/2 + j, bf16.  vbuf: (N, D) f32 forward-solve state.
-    stage: (2, b, b) bf16 write staging; lik/ljk: (2, b, b) bf16 read
-    double buffers."""
+    T_ref: HBM (ANY) output holding the SUBDIAGONAL blocks of L, transposed
+    (T[tri(i,j)] = L[i,j]ᵀ, tri(i,j) = i(i+1)/2 + j; diagonal slots are
+    never written — the evidence needs only logdet/quad).  vbuf: (N, D) f32
+    forward-solve state.  stage: (2, b, b) bf16 write staging; rowi:
+    (2, nb−1, b, b) bf16 double-buffered row stream; rowj: (nb−1, b, b)
+    bf16 current-column row panel."""
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
 
-    def tri(i, j):
-        return i * (i + 1) // 2 + j
+    def tri0(i):
+        return i * (i + 1) // 2  # offset of block (i, 0); static or traced
 
     def gram(i, j):
-        """var·exp(−‖xs_i − xs_j‖²) tile from the pre-scaled inputs."""
+        """var·exp(−‖xs_i − xs_j‖²) tile from the pre-scaled inputs.
+
+        n2 comes in BOTH orientations as inputs: Mosaic miscompiles
+        (b,1)↔(1,b) transposes on v5e (see chol_pallas._inv_body note)."""
         Xi = xs_ref[pl.ds(i * b, b), :]
         Xj = xs_ref[pl.ds(j * b, b), :]
         G = lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
-        # n2 comes in BOTH orientations as inputs: Mosaic miscompiles
-        # (b,1)↔(1,b) transposes on v5e (see chol_pallas._inv_body note)
         d2 = jnp.maximum(n2_ref[pl.ds(i * b, b), :] +
                          n2row_ref[:, pl.ds(j * b, b)] - 2.0 * G, 0.0)
         return var * jnp.exp(-d2)
 
-    def read_dma(buf, sem, slot, blk):
-        return pltpu.make_async_copy(L_ref.at[blk], buf.at[slot], sem.at[slot])
+    ld_acc = jnp.zeros((1, 1), jnp.float32)
+    for j in range(nb):  # static unroll: every dot width below is static
+        # ---- fetch this column's own ancestor row (one contiguous DMA) ----
+        if j > 0:
+            cp = pltpu.make_async_copy(T_ref.at[pl.ds(tri0(j), j)],
+                                       rowj.at[pl.ds(0, j)], rsem_j)
+            cp.start()
+            cp.wait()
+            Vj = jnp.reshape(rowj[0:j], (j * b, b))
 
-    def corr_loop(i, j, A, with_v, vacc):
-        """A −= Σ_{k<j} L[i,k]·L[j,k]ᵀ (and vacc += L[j,k]·v_k when with_v),
-        streaming both operand rows with 2-slot double buffering."""
-        same = i == j
-
-        @pl.when(j > 0)
-        def _():
-            read_dma(ljk, rsem_j, 0, tri(j, 0)).start()
-
-        @pl.when((j > 0) & jnp.logical_not(same))
-        def _():
-            read_dma(lik, rsem_i, 0, tri(i, 0)).start()
-
-        def kstep(k, Av):
-            A, vacc = Av
-            slot = lax.rem(k, 2)
-            nxt = lax.rem(k + 1, 2)
-
-            @pl.when(k + 1 < j)
-            def _():
-                read_dma(ljk, rsem_j, nxt, tri(j, k + 1)).start()
-
-            @pl.when((k + 1 < j) & jnp.logical_not(same))
-            def _():
-                read_dma(lik, rsem_i, nxt, tri(i, k + 1)).start()
-
-            read_dma(ljk, rsem_j, slot, tri(j, k)).wait()
-            Ljk = ljk[slot]
-            if with_v:
-                vacc = vacc + _dot(Ljk, vbuf[pl.ds(k * b, b), :]
-                                   .astype(jnp.bfloat16))
-
-            @pl.when(jnp.logical_not(same))
-            def _():
-                read_dma(lik, rsem_i, slot, tri(i, k)).wait()
-            # diagonal blocks reuse the j-stream (lik holds stale data then;
-            # select discards it elementwise)
-            Lik = lax.select(same, Ljk, lik[slot])
-            A = A - lax.dot_general(Lik, Ljk, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=lax.Precision.DEFAULT)
-            return A, vacc
-
-        return lax.fori_loop(0, j, kstep, (A, vacc))
-
-    def write_block(widx, blk, value):
-        slot = lax.rem(widx, 2)
-
-        @pl.when(widx >= 2)
-        def _():
-            pltpu.make_async_copy(stage.at[slot], L_ref.at[blk],
-                                  wsem.at[slot]).wait()
-        stage[slot] = value.astype(jnp.bfloat16)
-        pltpu.make_async_copy(stage.at[slot], L_ref.at[blk],
-                              wsem.at[slot]).start()
-
-    def column(j, ld):
-        # ---- diagonal block ------------------------------------------------
-        # noise ridge via thin-iota mask (no resident b×b identity constant
-        # — scoped VMEM is tight at 16 MB)
+        # ---- diagonal block ----------------------------------------------
         A = gram(j, j) + jnp.where(
             lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
             lax.broadcasted_iota(jnp.int32, (1, b), 1), noise, 0.0)
-        vacc = jnp.zeros((b, D), jnp.float32)
-        A, vacc = corr_loop(j, j, A, True, vacc)
+        wj = m_ref[pl.ds(j * b, b), :]
+        if j > 0:
+            A = A - _dotc0(Vj, Vj)
+            wj = wj - _dotc0(Vj, vbuf[pl.ds(0, j * b), :])
         Ld, Md = _factor_diag(A, b)
-        write_block(0, tri(j, j), Ld)
-        ld = ld + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
-        vj = lax.dot_general(Md, m_ref[pl.ds(j * b, b), :] - vacc,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
+        ld_acc = ld_acc + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
+        vj = _gemm32(Md, wj)
         vbuf[pl.ds(j * b, b), :] = vj
         Md_bf = Md.astype(jnp.bfloat16)
 
-        # ---- off-diagonal rows --------------------------------------------
-        def row(i, _):
-            A = gram(i, j)
-            A, _v = corr_loop(i, j, A, False,
-                              jnp.zeros((b, D), jnp.float32))
-            Lij = lax.dot_general(A.astype(jnp.bfloat16), Md_bf,
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.DEFAULT)
-            write_block(i - j, tri(i, j), Lij)
-            vbuf[pl.ds(i * b, b), :] = (vbuf[pl.ds(i * b, b), :]
-                                        - _dot(Lij, vj.astype(jnp.bfloat16)))
-            return 0
+        # ---- off-diagonal rows: one wide dot per block -------------------
+        nwr = nb - 1 - j
 
-        lax.fori_loop(j + 1, nb, row, 0)
+        def make_row(j, Vj, Md_bf, vj):
+            def row(i, _):
+                wslot = lax.rem(i - (j + 1), 2)
+                if j > 0:
+                    rslot = lax.rem(i - (j + 1), 2)
 
-        # drain outstanding write DMAs so column j+1 may read this column
-        nwrites = nb - j
+                    @pl.when(i + 1 < nb)
+                    def _():  # prefetch next row while computing this one
+                        pltpu.make_async_copy(
+                            T_ref.at[pl.ds((i + 1) * (i + 2) // 2, j)],
+                            rowi.at[lax.rem(i - j, 2), pl.ds(0, j)],
+                            rsem_i.at[lax.rem(i - j, 2)]).start()
+                    pltpu.make_async_copy(
+                        T_ref.at[pl.ds(tri0(i), j)],
+                        rowi.at[rslot, pl.ds(0, j)],
+                        rsem_i.at[rslot]).wait()
+                    Vi = jnp.reshape(rowi[rslot, 0:j], (j * b, b))
+                    A = gram(i, j) - _dotc0(Vi, Vj)
+                else:
+                    A = gram(i, j)
+                LijT = _dotT(Md_bf, A)           # L_jj⁻¹·Aᵀ = L_ijᵀ
+                vbuf[pl.ds(i * b, b), :] = (
+                    vbuf[pl.ds(i * b, b), :] - _dotc0(LijT, vj))
 
-        @pl.when(nwrites >= 1)
-        def _():
-            pltpu.make_async_copy(stage.at[lax.rem(nwrites - 1, 2)],
-                                  L_ref.at[tri(nb - 1, j)],
-                                  wsem.at[lax.rem(nwrites - 1, 2)]).wait()
+                @pl.when(i - (j + 1) >= 2)
+                def _():  # reclaim the staging slot before overwrite
+                    pltpu.make_async_copy(stage.at[wslot],
+                                          T_ref.at[tri0(i) + j],
+                                          wsem.at[wslot]).wait()
+                stage[wslot] = LijT.astype(jnp.bfloat16)
+                pltpu.make_async_copy(stage.at[wslot],
+                                      T_ref.at[tri0(i) + j],
+                                      wsem.at[wslot]).start()
+                return 0
+            return row
 
-        @pl.when(nwrites >= 2)
-        def _():
-            pltpu.make_async_copy(stage.at[lax.rem(nwrites - 2, 2)],
-                                  L_ref.at[tri(nb - 2, j)],
-                                  wsem.at[lax.rem(nwrites - 2, 2)]).wait()
-        return ld
+        if nwr > 0:
+            if j > 0:  # prime the first row DMA
+                pltpu.make_async_copy(T_ref.at[pl.ds(tri0(j + 1), j)],
+                                      rowi.at[0, pl.ds(0, j)],
+                                      rsem_i.at[0]).start()
+            lax.fori_loop(j + 1, nb, make_row(j, Vj if j > 0 else None,
+                                              Md_bf, vj), 0)
+            # drain outstanding writes so column j+1 may read them (static)
+            pltpu.make_async_copy(stage.at[(nwr - 1) % 2],
+                                  T_ref.at[tri0(nb - 1) + j],
+                                  wsem.at[(nwr - 1) % 2]).wait()
+            if nwr >= 2:
+                pltpu.make_async_copy(stage.at[(nwr - 2) % 2],
+                                      T_ref.at[tri0(nb - 2) + j],
+                                      wsem.at[(nwr - 2) % 2]).wait()
 
-    ld = lax.fori_loop(0, nb, column, jnp.zeros((1, 1), jnp.float32))
-    ld_ref[:] = ld
+    ld_ref[:] = ld_acc
     v = vbuf[:]
     quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
 
@@ -308,11 +278,12 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
 
     N must be a multiple of b (pad upstream); b a multiple of LEAF=128.
     Returns f32 scalars.  bf16 Schur/panel GEMM policy ≡ evidence_fast's
-    bench policy; same conditioning caveats apply."""
+    bench policy; same conditioning caveats apply (the bench gates drift
+    against the f32-HIGH path per session)."""
     N, q = X.shape
     D = m.shape[1]
     nb = N // b
-    assert N % b == 0 and b % LEAF == 0
+    assert N % b == 0 and b % LEAF == 0 and nb >= 2
     Xs = (X * jnp.sqrt(0.5 * inv_width)).astype(jnp.float32)
     n2 = jnp.sum(Xs * Xs, axis=1, keepdims=True)
     n2row = jnp.reshape(n2, (1, N))
@@ -320,7 +291,7 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
     noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
 
     kern = functools.partial(_mega_kernel, b, nb, q, D)
-    L, ld, quad = pl.pallas_call(
+    T, ld, quad = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((nb * (nb + 1) // 2, b, b), jnp.bfloat16),
@@ -336,25 +307,26 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # noise
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),    # L blocks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # Lᵀ blocks (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, D), jnp.float32),         # vbuf
-            pltpu.VMEM((2, b, b), jnp.bfloat16),     # write staging
-            pltpu.VMEM((2, b, b), jnp.bfloat16),     # L[i,k] stream
-            pltpu.VMEM((2, b, b), jnp.bfloat16),     # L[j,k] stream
-            pltpu.SemaphoreType.DMA((2,)),           # write sems
-            pltpu.SemaphoreType.DMA((2,)),           # read sems (i)
-            pltpu.SemaphoreType.DMA((2,)),           # read sems (j)
+            pltpu.VMEM((N, D), jnp.float32),              # vbuf
+            pltpu.VMEM((2, b, b), jnp.bfloat16),          # write staging
+            # i-rows only stream while j ≤ nb−2, so width caps at nb−2
+            pltpu.VMEM((2, nb - 2, b, b), jnp.bfloat16),  # row_i stream
+            pltpu.VMEM((nb - 1, b, b), jnp.bfloat16),     # row_j panel
+            pltpu.SemaphoreType.DMA((2,)),                # write sems
+            pltpu.SemaphoreType.DMA((2,)),                # read sems (i)
+            pltpu.SemaphoreType.DMA(()),                  # read sem (j)
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # the kernel's resident set (streams+staging+leaf state) peaks
-            # ~17 MB transiently; raise the scoped-vmem budget above the
-            # 16 MB compiler default
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # resident set: row streams (3·(nb−1)·b² bf16 ≈ 47 MB at
+            # N=16k/b=512) + staging/leaf state; v5e physical VMEM ≳120 MB,
+            # far above the 16 MB compiler default
+            vmem_limit_bytes=128 * 1024 * 1024),
     )(Xs, n2, n2row, m.astype(jnp.float32), var2d, noise2d)
-    del L
+    del T
     return ld[0, 0], quad[0, 0]
