@@ -110,7 +110,12 @@ def main():
     # tpu_round2_batch.py)
     candidates = ([("mega-b512", "mega"),
                    ("xla-b512", Policy(512, True, "xla", True)),
-                   ("xla-b1024", Policy(1024, True, "xla", True))] if on_tpu
+                   ("xla-b1024", Policy(1024, True, "xla", True)),
+                   # fused Gauss-Jordan pallas leaves (chol_pallas):
+                   # every leaf one in-VMEM op, every panel solve a GEMM
+                   ("pal-b512", Policy(512, True, "pallas", True)),
+                   ("pal-b1024", Policy(1024, True, "pallas", True))]
+                  if on_tpu
                   else [("cpu", Policy(256, False, False, True))])
 
     def make_pipe(pol):

@@ -168,15 +168,57 @@ def chol_inv_block(A, interpret: bool = False):
     are well-conditioned (diag ≈ var + noise), so the explicit inverse is safe
     in f32 — and the reference itself builds explicit inverses via dpotri
     (CMatrix.cpp:421-442).
+
+    For n a multiple of 128 this dispatches to the fused Gauss-Jordan
+    kernel (`chol_inv_block_fused`): the masked column sweep updates L and
+    L⁻¹ together (rank-1 outer products, all VPU), avoiding this module's
+    original per-row (1,n)·(n,n) MXU recursion — which made the "pallas"
+    leaf mode LOSE to plain XLA chol in the round-1/2 sweeps.
     """
     n = A.shape[0]
     if not _HAVE_PALLAS:
         L = jnp.linalg.cholesky(A)
         from jax.scipy.linalg import solve_triangular
         return L, solve_triangular(L, jnp.eye(n, dtype=A.dtype), lower=True)
+    if n % 128 == 0:
+        return chol_inv_block_fused(A, interpret=interpret)
     return pl.pallas_call(
         functools.partial(_chol_inv_kernel, n),
         out_shape=(jax.ShapeDtypeStruct((n, n), A.dtype),
                    jax.ShapeDtypeStruct((n, n), A.dtype)),
         interpret=interpret,
     )(A)
+
+
+def _chol_inv_fused_kernel(n, a_ref, l_ref, m_ref):
+    from gpc_tpu.ops.chol_mega import _cholinv_leaf, _factor_diag
+    if n == 128:
+        L, M = _cholinv_leaf(a_ref[:])
+    else:
+        L, M = _factor_diag(a_ref[:], n)
+    l_ref[:] = L
+    m_ref[:] = M
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_block_fused(A, interpret: bool = False):
+    """(L, L⁻¹) via the chol_mega fused Gauss-Jordan factorization, one op.
+
+    128-blocked elimination where each leaf's inverse is maintained by the
+    same rank-1 column updates as the Cholesky itself (no per-row MXU
+    dots); panel solves / trailing updates / inverse assembly are small
+    HIGHEST-precision GEMMs.  n must be a multiple of 128."""
+    n = A.shape[0]
+    assert n % 128 == 0
+    return pl.pallas_call(
+        functools.partial(_chol_inv_fused_kernel, n),
+        out_shape=(jax.ShapeDtypeStruct((n, n), A.dtype),
+                   jax.ShapeDtypeStruct((n, n), A.dtype)),
+        interpret=interpret,
+        compiler_params=None if interpret else _fused_params(),
+    )(A)
+
+
+def _fused_params():
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
