@@ -143,7 +143,7 @@ def main():
                                      (jnp.zeros((), dtype), X))[0]
         return pipe_chain
 
-    t_pipe, val = None, None
+    results = []
     for name, pol in candidates:
         try:
             pipe = make_pipe(pol)
@@ -156,11 +156,13 @@ def main():
         sync(pipe(X, m))
         t = max(time.perf_counter() - t0 - rtt, 1e-9) / reps
         print(f"# candidate {name}: {t*1e3:.1f} ms", file=sys.stderr)
-        if t_pipe is None or t < t_pipe:
-            t_pipe, val = t, v
+        results.append((t, name, v))
+    results.sort()
 
     # accuracy gate: the mixed-precision value must agree with the f32-HIGH
-    # evidence — a wrong fast number is not a benchmark result
+    # evidence — a wrong fast number is not a benchmark result.  The fastest
+    # candidate that PASSES wins (a numerically-off candidate is skipped,
+    # not fatal).
     if on_tpu:
         @jax.jit
         def check(X, m):
@@ -170,10 +172,18 @@ def main():
                                   stack=True))
             return quad + ld
         ref = sync(check(X, m))
-        rel = abs(val / reps - ref) / abs(ref)
-        assert rel < 1e-2, f"bf16 evidence drifted {rel:.2e} from f32-HIGH"
+        t_pipe, rel = None, None
+        for t, name, v in results:
+            r = abs(v / reps - ref) / abs(ref)
+            if r < 1e-2:
+                t_pipe, rel = t, r
+                print(f"# winner {name} (drift {r:.1e})", file=sys.stderr)
+                break
+            print(f"# candidate {name} REJECTED: drift {r:.2e}",
+                  file=sys.stderr)
+        assert t_pipe is not None, "no candidate within 1e-2 of f32-HIGH"
     else:
-        rel = 0.0
+        t_pipe, rel = results[0][0], 0.0
 
     # Algorithmic (full-Gram + N³/3 Cholesky + solve) FLOPs for the TASK —
     # the standard count a dense dpotrf-based evidence would execute — not
