@@ -101,7 +101,12 @@ def _handle(mains, req):
 
 def serve():
     path = _sock_path()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # The daemon executes gp/ivm/gplvm with caller-supplied paths, so the
+    # socket must not be reachable by other local users (Linux honors file
+    # perms on connect()): private dir + 0o077 umask for the bind itself.
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+    os.chmod(os.path.dirname(path), 0o700)
+    os.umask(0o077)
     # stale-socket recovery: if nothing answers, unlink and rebind
     if os.path.exists(path):
         probe = socket.socket(socket.AF_UNIX)
@@ -127,6 +132,7 @@ def serve():
     idle = float(os.environ.get("GPC_TPU_DAEMON_IDLE", "900"))
     srv = socket.socket(socket.AF_UNIX)
     srv.bind(path)
+    os.chmod(path, 0o600)
     srv.listen(1)
     srv.settimeout(idle)
     try:
@@ -163,7 +169,7 @@ def _connect(path, spawn=True, wait_s=180.0):
         if not spawn:
             return None
     log = os.path.join(os.path.dirname(path), "daemon.log")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
     with open(log, "ab") as lf:
         subprocess.Popen(
             [sys.executable, "-m", "gpc_tpu.cli.daemon", "serve"],

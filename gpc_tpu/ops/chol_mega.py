@@ -165,8 +165,8 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
     (T[tri(i,j)] = L[i,j]ᵀ, tri(i,j) = i(i+1)/2 + j; diagonal slots are
     never written — the evidence needs only logdet/quad).  vbuf: (N, D) f32
     forward-solve state.  stage: (2, b, b) bf16 write staging; rowi:
-    (2, nb−1, b, b) bf16 double-buffered row stream; rowj: (nb−1, b, b)
-    bf16 current-column row panel."""
+    (2, nb−2, b, b) bf16 double-buffered row stream (i-rows only stream
+    while j ≤ nb−2); rowj: (nb−1, b, b) bf16 current-column row panel."""
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
 
@@ -214,7 +214,7 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
         # ---- off-diagonal rows: one wide dot per block -------------------
         nwr = nb - 1 - j
 
-        def make_row(j, Vj, Md_bf, vj):
+        def make_row(j, Vj, Md_bf):
             def row(i, _):
                 wslot = lax.rem(i - (j + 1), 2)
                 if j > 0:
@@ -235,8 +235,11 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                 else:
                     A = gram(i, j)
                 LijT = _dotT(Md_bf, A)           # L_jj⁻¹·Aᵀ = L_ijᵀ
-                vbuf[pl.ds(i * b, b), :] = (
-                    vbuf[pl.ds(i * b, b), :] - _dotc0(LijT, vj))
+                # (no vbuf update here — the schedule is purely left-looking:
+                # row i's forward-solve correction happens at ITS diagonal
+                # step via the Viᵀ·vbuf[:ib] term, so a right-looking
+                # decrement would read uninitialized scratch and be
+                # overwritten anyway)
 
                 @pl.when(i - (j + 1) >= 2)
                 def _():  # reclaim the staging slot before overwrite
@@ -256,7 +259,7 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                                       rowi.at[0, pl.ds(0, j)],
                                       rsem_i.at[0]).start()
             lax.fori_loop(j + 1, nb, make_row(j, Vj if j > 0 else None,
-                                              Md_bf, vj), 0)
+                                              Md_bf), 0)
             # drain outstanding writes so column j+1 may read them (static)
             pltpu.make_async_copy(stage.at[(nwr - 1) % 2],
                                   T_ref.at[tri0(nb - 1) + j],
@@ -283,7 +286,8 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
     N, q = X.shape
     D = m.shape[1]
     nb = N // b
-    assert N % b == 0 and b % LEAF == 0 and nb >= 2
+    # nb >= 3: at nb == 2 the rowi scratch would be zero-sized VMEM
+    assert N % b == 0 and b % LEAF == 0 and nb >= 3
     Xs = (X * jnp.sqrt(0.5 * inv_width)).astype(jnp.float32)
     n2 = jnp.sum(Xs * Xs, axis=1, keepdims=True)
     n2row = jnp.reshape(n2, (1, N))
