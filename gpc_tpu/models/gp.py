@@ -128,9 +128,32 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
     N, D = spec.n_data, spec.output_dim
 
     if spec.approx == FTC:
-        K = spec.kern.gram(kp, X)
-        logdetK, quad, _L = linalg.evidence_terms(K, m)  # Σ_j m_jᵀK⁻¹m_j
-        Lacc = quad + D * logdetK
+        # GPC_TPU_EVIDENCE=fastgrad|lazy routes the FTC hot block through the
+        # fused lazy factorization (bf16 + custom VJP / f32-HIGH autodiff) so
+        # SCG training steps run at the bench pipeline's speed; the default
+        # stays the dense jitchol parity route (see models/gplvm.py note —
+        # explicit flag, never a shape-keyed fork).
+        from gpc_tpu.ops.chol_blocked import BASE as _BASE
+        from gpc_tpu.ops.evidence_grad import evidence_mode
+        mode = evidence_mode()
+        if mode != "dense" and not (N % _BASE == 0 and N > 2 * _BASE):
+            import warnings
+            warnings.warn(
+                f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
+                f"{_BASE} blocks (got N={N}); falling back to dense")
+            mode = "dense"
+        if mode == "fastgrad":
+            from gpc_tpu.ops.evidence_grad import kern_evidence_grad
+            Xj = jnp.asarray(X)
+            logdetK, quad = kern_evidence_grad(spec.kern, kp, Xj, m)
+        elif mode == "lazy":
+            from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
+            logdetK, quad = kern_evidence_lazy(spec.kern, kp, jnp.asarray(X),
+                                               m, force=True)
+        else:
+            K = spec.kern.gram(kp, X)
+            logdetK, quad, _L = linalg.evidence_terms(K, m)
+        Lacc = quad + D * logdetK  # Σ_j m_jᵀK⁻¹m_j + D·logdet
     else:
         M = spec.num_active
         K_uu = spec.kern.gram(kp, X_u)

@@ -135,19 +135,35 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     m = (jnp.asarray(y) - jnp.asarray(noise_bias)[None, :]) / scales[None, :]
     N, D, q = spec.n_data, spec.data_dim, spec.latent_dim
 
-    # Large-N fast path (the reference GP-LVM stops at ~1k points,
-    # README.md:412-414): fuse the Gram tiles into the blocked factorization
-    # (ops/lazy_evidence) so K never takes a standalone N² HBM pass and the
-    # evidence differentiates through pure-jnp GEMM/chol ops.  The dense
-    # jitchol path (escalating jitter) remains the CPU/parity route; on the
-    # lazy path a transiently non-PD K yields a NaN objective, which SCG
-    # rejects as a failed step (λ growth — optim/scg.py NaN handling) instead
-    # of re-jittering.
-    import jax as _jax
+    # Large-N fast paths (the reference GP-LVM stops at ~1k points,
+    # README.md:412-414): GPC_TPU_EVIDENCE selects the evidence engine
+    # EXPLICITLY (never a shape-keyed fork — N=4096 and N=4100 run the same
+    # algorithm unless the user opted in):
+    #   dense (default) — jitchol escalation, the CPU/parity route;
+    #   lazy            — Gram tiles fused into the blocked factorization
+    #                     (ops/lazy_evidence), differentiable via autodiff;
+    #   fastgrad        — bf16 fused forward + analytic custom VJP
+    #                     (ops/evidence_grad), the TPU training fast path.
+    # On the lazy/fastgrad paths a transiently non-PD K yields a NaN
+    # objective, which SCG rejects as a failed step (λ growth — optim/scg.py
+    # NaN handling) instead of re-jittering (tests/test_evidence_grad.py
+    # pins that rescue behavior).
     from gpc_tpu.ops.chol_blocked import BASE as _BASE
-    if (_jax.default_backend() != "cpu" and N % _BASE == 0 and N > 2 * _BASE):
+    from gpc_tpu.ops.evidence_grad import evidence_mode
+    mode = evidence_mode()
+    if mode != "dense" and not (N % _BASE == 0 and N > 2 * _BASE):
+        import warnings
+        warnings.warn(
+            f"GPC_TPU_EVIDENCE={mode} needs n_data to split into {_BASE} "
+            f"blocks (got N={N}); falling back to the dense evidence")
+        mode = "dense"
+    if mode == "fastgrad":
+        from gpc_tpu.ops.evidence_grad import kern_evidence_grad
+        logdet, quad = kern_evidence_grad(spec.kern, kp, X, m)
+        Lacc = quad + D * logdet
+    elif mode == "lazy":
         from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
-        logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m)
+        logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m, force=True)
         Lacc = quad + D * logdet
     else:
         K = spec.kern.gram(kp, X)

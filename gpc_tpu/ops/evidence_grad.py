@@ -1,0 +1,201 @@
+"""Custom-VJP fast evidence: bf16 fused forward + analytic reverse sweeps.
+
+Round-2 state: the mixed-precision fused evidence (ops/evidence_fast.py) was
+forward-only, so TPU *training* (SCG value_and_grad — the reference's entire
+hot block, /root/reference/CGp.cpp:913-1014 driven by COptimisable.cpp:246-396)
+never benefited; GP-LVM-16k steps ran the f32-HIGH autodiff route.  This module
+closes that gap: `(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ)` as a `jax.custom_vjp` whose
+
+  forward  = the evidence_fast left-looking fused factorization (bf16-input/
+             f32-accum Schur GEMMs, leaf inverses, lazy Gram tiles), keeping
+             the factor tree + forward-solve v as residuals;
+  backward = the closed-form evidence cotangents (the same three reverse
+             panel sweeps the distributed path uses,
+             parallel/chol_distributed.py:151-193; CGp::updateCovGradient
+             form, /root/reference/CGp.cpp:666-679):
+               ∂logdet/∂K = K⁻¹,   ∂quad/∂K = −α·αᵀ,   ∂quad/∂m = 2α,
+             with α = L⁻ᵀv solved against the tree, K⁻¹ = L⁻ᵀ·L⁻¹ from a
+             blocked MXU triangular inverse of the tree, and the kernel/input
+             pullback K̄ → (θ̄, X̄) delegated to jax.vjp of the dense Gram
+             build (one O(N²·q) backward, never hand-derived covGrad algebra).
+
+Because the VJP is custom, the forward may use non-differentiable pieces
+(Pallas leaf kernels, bf16 casts) freely — autodiff never traces it.
+
+Numerical domain: same as evidence_fast — under the bf16 policy gradients
+match the exact route to ~2e-2 max relative (measured on the bench problem
+family, tests/test_evidence_grad.py::test_grad_bf16_policy_drift); with bf16
+off the f64 gradients are exact to 1e-7 relative.  Parity paths keep the
+dense jitchol route.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from gpc_tpu.ops.evidence_fast import Policy, _chol_left, _mmp
+from gpc_tpu.ops.lazy_evidence import kern_block_fn
+
+
+def _mmT(a, b, *, bf16):
+    """aᵀ @ b (contract dim 0) with optional bf16-input/f32-accum policy."""
+    dims = (((0,), (0,)), ((), ()))
+    if bf16:
+        return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                               dims, preferred_element_type=jnp.float32)
+    prec = (lax.Precision.HIGH if a.dtype == jnp.float32
+            else lax.Precision.HIGHEST)
+    return lax.dot_general(a, b, dims, preferred_element_type=a.dtype,
+                           precision=prec)
+
+
+def _untag(tree):
+    """Strip the "leaf"/"node" string tags so the factor tree is a pure-array
+    pytree (strings can't ride custom_vjp residuals).  Leaf → (L, M|None),
+    node → (left, L21, right); the two are distinguished structurally
+    (a node's first element is a tuple, a leaf's is an array)."""
+    if tree[0] == "leaf":
+        return (tree[1], tree[2])
+    return (_untag(tree[1]), tree[2], _untag(tree[3]))
+
+
+def _is_node(t):
+    return len(t) == 3 and isinstance(t[0], tuple)
+
+
+def _solve_lt(tree, v, pol: Policy):
+    """Solve Lᵀ·x = v against an (untagged) factor tree.
+
+    The α = K⁻¹m backward sweep (CGp::updateAlpha's second trsm,
+    /root/reference/CGp.cpp:469-534).  Always f32/f64 GEMMs (O(N²·D) — cheap
+    relative to the O(N³) sweeps, and α accuracy feeds every gradient)."""
+    if not _is_node(tree):
+        L, M = tree
+        if M is not None:
+            return _mmT(M.astype(v.dtype), v, bf16=False)
+        return solve_triangular(L, v, lower=True, trans=1)
+    left, L21, right = tree
+    h = L21.shape[1]
+    x2 = _solve_lt(right, v[h:], pol)
+    x1 = _solve_lt(left, v[:h] - _mmT(L21.astype(v.dtype), x2, bf16=False),
+                   pol)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
+def _tree_linv(tree, pol: Policy):
+    """Dense L⁻¹ (lower triangular) from the factor tree, all MXU GEMMs:
+      inv([[L11, 0], [L21, L22]]) = [[L11⁻¹, 0], [−L22⁻¹·L21·L11⁻¹, L22⁻¹]].
+    Runs under the same bf16 policy as the forward's O(N³) work."""
+    if not _is_node(tree):
+        L, M = tree
+        if M is not None:
+            return M
+        return solve_triangular(
+            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
+    left, L21, right = tree
+    I1 = _tree_linv(left, pol)
+    I2 = _tree_linv(right, pol)
+    B = -_mmp(I2, _mmp(L21, I1, bf16=pol.bf16), bf16=pol.bf16)
+    h = I1.shape[0]
+    nh = I2.shape[0]
+    top = jnp.concatenate([I1, jnp.zeros((h, nh), I1.dtype)], axis=1)
+    bot = jnp.concatenate([B.astype(I1.dtype), I2], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _evidence_vjp_fn(kern, n: int, ridge: float, pol: Policy):
+    """custom_vjp'd (logdet, quad) = f(p, X, m), cached per (kernel, policy)
+    so the custom_vjp identity is stable across jit retraces."""
+
+    def _dense_K(p, X):
+        # the dense equivalent of kern_block_fn's lazy blocks: compute() plus
+        # the white-variance/ridge shift on the diagonal (the gram() diagonal
+        # discipline — kern_block_fn invariant, tests/test_lazy_evidence.py)
+        return (kern.compute(p, X, X)
+                + (kern.white(p) + ridge) * jnp.eye(n, dtype=X.dtype))
+
+    def _forward(p, X, m):
+        kfn = kern_block_fn(kern, p, X, ridge)
+        tree, v, logdiag = _chol_left(kfn, n, m, (), pol)
+        return (2.0 * logdiag, jnp.sum(v * v)), (_untag(tree), v, p, X)
+
+    @jax.custom_vjp
+    def evidence(p, X, m):
+        (logdet, quad), _ = _forward(p, X, m)
+        return logdet, quad
+
+    def evidence_fwd(p, X, m):
+        return _forward(p, X, m)
+
+    def evidence_bwd(res, cots):
+        tree, v, p, X = res
+        g_ld, g_quad = cots
+        alpha = _solve_lt(tree, v, pol)                    # K⁻¹m, f32 sweeps
+        Linv = _tree_linv(tree, pol)
+        Kinv = _mmT(Linv, Linv, bf16=pol.bf16)             # L⁻ᵀ·L⁻¹
+        aaT = lax.dot_general(alpha, alpha, (((1,), (1,)), ((), ())),
+                              preferred_element_type=alpha.dtype,
+                              precision=lax.Precision.HIGHEST)
+        Kbar = g_ld * Kinv.astype(alpha.dtype) - g_quad * aaT
+        Kbar = 0.5 * (Kbar + Kbar.T)                        # symmetrize bf16 noise
+        _, pullback = jax.vjp(_dense_K, p, X)
+        pbar, Xbar = pullback(Kbar.astype(X.dtype))
+        mbar = 2.0 * g_quad * alpha
+        return pbar, Xbar, mbar
+
+    evidence.defvjp(evidence_fwd, evidence_bwd)
+    return evidence
+
+
+def evidence_mode(default: str = "dense") -> str:
+    """Explicit evidence-path selection — GPC_TPU_EVIDENCE = dense | lazy |
+    fastgrad.  `dense` (default): jitchol escalation, the parity route.
+    `lazy`: f32-HIGH fused lazy factorization (differentiable via autodiff).
+    `fastgrad`: bf16 fused forward + this module's custom VJP.  An explicit
+    flag, never a shape-keyed fork: N=4096 and N=4100 take the same path
+    unless the user opted in (and an opted-in non-splitting N falls back to
+    dense with a visible warning)."""
+    import os
+    v = os.environ.get("GPC_TPU_EVIDENCE", default).lower()
+    if v not in ("dense", "lazy", "fastgrad"):
+        raise ValueError(f"GPC_TPU_EVIDENCE={v!r} (want dense|lazy|fastgrad)")
+    return v
+
+
+def kern_evidence_grad(kern, p, X, m, ridge: float = 0.0,
+                       pol: Policy | None = None):
+    """(logdet, quad) for K = kern(X) + ridge·I — fast fused forward AND a
+    custom analytic VJP, so `jax.grad` of an NLML built on this runs the
+    entire training step at the bench pipeline's mixed-precision speed.
+
+    Drop-in for `kern_evidence_lazy` on training paths (models/gp.py /
+    models/gplvm.py, GPC_TPU_EVIDENCE=fastgrad).  n must split cleanly
+    (n % pol.base == 0, n > 2·base); callers fall back to the dense route
+    otherwise.  Default policy: f32-HIGH GEMMs (the custom VJP alone is the
+    win — no autodiff residual chain); GPC_TPU_BF16_EVIDENCE=1 opts the
+    O(N³) sweeps into bf16-input/f32-accum for f32 inputs.  bf16 is only
+    stable when the factorization is well conditioned relative to bf16
+    rounding (e.g. the bench problem's noise ridge at SNR 10) — a kernel
+    with a large near-rank-1 component (an O(1) bias variance at large N)
+    cancels catastrophically in the Schur corrections and goes NaN, which
+    SCG then rejects every step.  Same opt-in semantics as
+    kern_evidence_lazy."""
+    import os
+
+    X = jnp.asarray(X)
+    n = X.shape[0]
+    if pol is None:
+        from gpc_tpu.ops.chol_blocked import BASE
+        bf16 = (X.dtype == jnp.float32
+                and os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1")
+        pol = Policy(base=BASE, bf16=bf16, leafinv="xla", stack=True)
+    assert n % pol.base == 0 and n > 2 * pol.base, (
+        "kern_evidence_grad needs n to split cleanly; pad or use the dense "
+        "path")
+    return _evidence_vjp_fn(kern, n, float(ridge), pol)(p, X, jnp.asarray(m))

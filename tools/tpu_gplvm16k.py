@@ -1,11 +1,18 @@
-"""TPU timing: N=16k GP-LVM training step on one chip.
+"""TPU timing: N=16k GP-LVM training step on one chip, per evidence mode.
 
 The reference GP-LVM stops at ~1k points (README.md:412-414, 'overnight' for
-N=1000).  Here one SCG value+grad step of the N=16384 GP-LVM NLML — evidence
-fused through ops/lazy_evidence.kern_evidence_lazy, differentiated by
-jax.grad including all N·q latent coordinates — is timed on the real chip.
+N=1000).  Here one SCG value+grad step of the N=16384 GP-LVM NLML — including
+all N·q latent-coordinate gradients — is timed on the real chip for each
+evidence engine (GPC_TPU_EVIDENCE):
 
-GPC_TPU_BF16_EVIDENCE=1 opts the O(N³) update GEMMs into bf16/f32-accum.
+  lazy      — fused lazy factorization, gradients via jax.grad through the
+              recursion (the round-2 path: 531 ms measured 2026-08-20);
+  fastgrad  — same forward, analytic custom VJP (ops/evidence_grad);
+  fastgrad + GPC_TPU_BF16_EVIDENCE=1 — bf16 Schur sweeps both directions.
+
+RTT methodology: the axon value fetch costs a full round trip (26-62 ms);
+measured via trivial syncs (min of 8) and subtracted; steps are chained so
+each rep depends on the previous.
 """
 
 import os
@@ -44,34 +51,53 @@ def main():
     yj = jnp.asarray(y, jnp.float32)
     bias = jnp.asarray(model.noise_bias, jnp.float32)
     fs = jnp.asarray(model.fixed_scales, jnp.float32)
-
-    vag = jax.jit(jax.value_and_grad(
-        lambda t: -log_likelihood(spec, t, yj, bias, fs)))
     theta = jnp.asarray(model.theta, jnp.float32)
 
-    t0 = time.perf_counter()
-    v, g = vag(theta)
-    v0 = float(v)
-    print(f"compile+first step: {time.perf_counter()-t0:.0f}s  "
-          f"nlml={v0:.1f}", flush=True)
-    assert np.isfinite(v0)
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        v, g = vag(theta)
-        sync(g)
-    t = (time.perf_counter() - t0) / reps
-    gn = float(jnp.linalg.norm(g))
-    print(f"value+grad step (N=16384, {theta.size} params incl. "
-          f"{N*q} latents): {t*1e3:.0f} ms  |g|={gn:.3g}", flush=True)
+    @jax.jit
+    def _triv(a):
+        return a + 1.0
+    one = jnp.ones((1,), jnp.float32)
+    sync(_triv(one))
+    rtt = min(_t_one(_triv, one) for _ in range(8))
+    print(f"rtt={rtt*1e3:.1f} ms", flush=True)
 
-    # a few SCG-like gradient-descent steps to show training moves
-    a = theta
-    lr = 1e-6
-    for i in range(3):
-        v, g = vag(a)
-        a = a - lr * g
-        print(f"  step {i}: nlml={float(v):.1f}", flush=True)
+    reps = 5
+    for mode, bf16 in (("lazy", "0"), ("fastgrad", "0"), ("fastgrad", "1")):
+        os.environ["GPC_TPU_EVIDENCE"] = mode
+        os.environ["GPC_TPU_BF16_EVIDENCE"] = bf16
+
+        def step_chain(t):
+            def body(_, carry):
+                acc, tc = carry
+                v, g = jax.value_and_grad(
+                    lambda th: -log_likelihood(spec, th, yj, bias, fs))(tc)
+                return acc + v, tc + 0.0 * g
+            return jax.lax.fori_loop(0, reps, body,
+                                     (jnp.zeros((), jnp.float32), t))[0]
+
+        pipe = jax.jit(step_chain)
+        tag = f"{mode}{'+bf16' if bf16 == '1' else ''}"
+        try:
+            t0 = time.perf_counter()
+            v = sync(pipe(theta))
+            print(f"{tag}: compile+first {time.perf_counter()-t0:.0f}s "
+                  f"acc_nlml={v:.1f}", flush=True)
+            if not np.isfinite(v):
+                print(f"{tag}: NON-FINITE, skipping timing", flush=True)
+                continue
+            t0 = time.perf_counter()
+            sync(pipe(theta))
+            t = max(time.perf_counter() - t0 - rtt, 1e-9) / reps
+            print(f"{tag}: value+grad step (N=16384, {theta.size} params "
+                  f"incl. {N*q} latents): {t*1e3:.0f} ms", flush=True)
+        except Exception as e:
+            print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+def _t_one(f, x):
+    t0 = time.perf_counter()
+    sync(f(x))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
