@@ -113,15 +113,21 @@ def main():
     # b512-xla 44.1 < b256-xla ≈ noinv; fast session (roof 132 TF/s) b512-xla
     # 21.1 ms < b256-xla 22.7 < b256-chol 24.6 (tools/tpu_fast_sweep3.py,
     # tpu_round2_batch.py)
-    candidates = ([("mega-b512", "mega"),
-                   ("xla-b512", Policy(512, True, "xla", True)),
-                   ("xla-b1024", Policy(1024, True, "xla", True)),
-                   # fused Gauss-Jordan pallas leaves (chol_pallas):
-                   # every leaf one in-VMEM op, every panel solve a GEMM
-                   ("pal-b512", Policy(512, True, "pallas", True)),
-                   ("pal-b1024", Policy(1024, True, "pallas", True))]
+    # "flat" = one persistent (N, N) bf16 factor buffer, corrections read
+    # strided slices (no stacked-operand concat copies — the r2 residual
+    # was ~3× ancestor-stream HBM traffic from per-block stacking);
+    # "left" = the r2 stacked left-looking recursion (the r2 winner, kept
+    # as the regression reference); "mega" = the whole-evidence Pallas op.
+    candidates = ([("flat-b512", ("flat", Policy(512, True, "xla", True))),
+                   ("flat-b1024", ("flat", Policy(1024, True, "xla", True))),
+                   ("flat-pal-b512",
+                    ("flat", Policy(512, True, "pallas", True))),
+                   ("flat-pal-b1024",
+                    ("flat", Policy(1024, True, "pallas", True))),
+                   ("xla-b512", ("left", Policy(512, True, "xla", True))),
+                   ("mega-b512", "mega")]
                   if on_tpu
-                  else [("cpu", Policy(256, False, False, True))])
+                  else [("cpu", ("left", Policy(256, False, False, True)))])
 
     def make_pipe(pol):
         if pol == "mega":
@@ -132,9 +138,13 @@ def main():
                     X, m, inv_width, variance, noise, b=512)
                 return quad + logdet
         else:
+            from gpc_tpu.ops.evidence_fast import evidence_flat
+            sched, p = pol
+            engine = evidence_flat if sched == "flat" else evidence_left_fast
+
             def evidence(X, m):
                 kfn = rbf_block_fn(X, inv_width, variance, noise)
-                logdet, quad = evidence_left_fast(kfn, N, m, pol)
+                logdet, quad = engine(kfn, N, m, p)
                 return quad + logdet
 
         @jax.jit

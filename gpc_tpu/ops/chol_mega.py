@@ -169,6 +169,17 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
     while j ≤ nb−2); rowj: (nb−1, b, b) bf16 current-column row panel."""
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
+    # initialize the forward-solve residual from m (static-offset block
+    # copies), so the row phase's right-looking decrements below operate
+    # on live values instead of uninitialized VMEM.  NOTE: the two
+    # "clean" single-schedule rewrites of this forward solve — (a) drop
+    # the row-phase decrement and keep only the left-looking Vj^T.vbuf
+    # diag GEMM, or (b) drop that diag GEMM and read the right-looking
+    # residual at the diagonal step — BOTH fail to compile in Mosaic at
+    # nb=32 (tpu_compile_helper exit 1; nb<=16 compiles), so the
+    # redundant-but-compiling both-schedules form stays deliberately.
+    for i in range(nb):
+        vbuf[pl.ds(i * b, b), :] = m_ref[pl.ds(i * b, b), :]
 
     def tri0(i):
         return i * (i + 1) // 2  # offset of block (i, 0); static or traced
@@ -214,7 +225,7 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
         # ---- off-diagonal rows: one wide dot per block -------------------
         nwr = nb - 1 - j
 
-        def make_row(j, Vj, Md_bf):
+        def make_row(j, Vj, Md_bf, vj):
             def row(i, _):
                 wslot = lax.rem(i - (j + 1), 2)
                 if j > 0:
@@ -235,11 +246,8 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                 else:
                     A = gram(i, j)
                 LijT = _dotT(Md_bf, A)           # L_jj⁻¹·Aᵀ = L_ijᵀ
-                # (no vbuf update here — the schedule is purely left-looking:
-                # row i's forward-solve correction happens at ITS diagonal
-                # step via the Viᵀ·vbuf[:ib] term, so a right-looking
-                # decrement would read uninitialized scratch and be
-                # overwritten anyway)
+                vbuf[pl.ds(i * b, b), :] = (
+                    vbuf[pl.ds(i * b, b), :] - _dotc0(LijT, vj))
 
                 @pl.when(i - (j + 1) >= 2)
                 def _():  # reclaim the staging slot before overwrite
@@ -259,7 +267,7 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                                       rowi.at[0, pl.ds(0, j)],
                                       rsem_i.at[0]).start()
             lax.fori_loop(j + 1, nb, make_row(j, Vj if j > 0 else None,
-                                              Md_bf), 0)
+                                              Md_bf, vj), 0)
             # drain outstanding writes so column j+1 may read them (static)
             pltpu.make_async_copy(stage.at[(nwr - 1) % 2],
                                   T_ref.at[tri0(nb - 1) + j],

@@ -210,6 +210,63 @@ def _chol_left_pre(kfn, n, b, C, off, pol: Policy):
     return ("node", treeL, store, treeR), jnp.concatenate([v1, v2]), ld1 + ld2
 
 
+def evidence_flat(kfn, n, m, pol: Policy = DEFAULT):
+    """Left-looking fused evidence over ONE persistent (n, n) factor buffer —
+    no stacked-operand copies at all.
+
+    The `stack` schedule concatenates every block's ancestor panels before
+    its correction GEMM: a read+write+re-read of ~N³/(3·base) panel bytes
+    that triples the ancestor-stream HBM traffic (the round-2 residual the
+    mega-kernel failed to remove).  Here finished columns land in a single
+    (n, n) buffer (bf16 under the policy) via static-index
+    dynamic_update_slice — in place under XLA buffer reuse, since each
+    iteration's buffer is dead after its update — and every correction
+    reads PLAIN strided slices of it:
+
+      per column j:  Vj   = Lbuf[jb:(j+1)b, :jb]          (this row's panel)
+                     A    = K(j,j) + ridge − Vj·Vjᵀ;  leaf (L_jj, L_jj⁻¹)
+                     v_j  = L_jj⁻¹·(m_j − Vj·v[:jb])
+                     Vall = Lbuf[(j+1)b:, :jb]            (strided, no copy)
+                     L21  = (K(below,j) − Vall·Vjᵀ)·L_jj⁻ᵀ   ← ONE tall GEMM
+                     Lbuf[(j+1)b:, jb:(j+1)b] ← L21
+
+    Ancestor bytes stream exactly once per use (N³/(3·base) total, halved
+    again by bf16 storage), and the per-column correction is one big
+    MXU-friendly dot instead of a per-ancestor or per-block loop.
+    Differentiable for leafinv in (False, "xla")."""
+    b = pol.base
+    nb = n // b
+    assert n % b == 0 and nb >= 2
+    store_dt = jnp.bfloat16 if pol.bf16 else m.dtype
+    Lbuf = jnp.zeros((n, n), store_dt)
+    vs = []
+    logdet = jnp.zeros((), m.dtype)
+    for j in range(nb):
+        A = kfn(j * b, j * b, b, b)
+        wj = m[j * b:(j + 1) * b]
+        if j > 0:
+            Vj = lax.slice(Lbuf, (j * b, 0), ((j + 1) * b, j * b))
+            A = A - _mmp(Vj, Vj, transpose_b=True, bf16=pol.bf16)
+            wj = wj - _mmp(Vj, jnp.concatenate(vs, axis=0), bf16=pol.bf16)
+        tree, v_j, ld_j = _leaf(A, wj, pol)
+        _, _Lx, M = tree
+        vs.append(v_j)
+        logdet = logdet + ld_j
+        if j + 1 < nb:
+            R = kfn((j + 1) * b, j * b, n - (j + 1) * b, b)
+            if j > 0:
+                Vall = lax.slice(Lbuf, ((j + 1) * b, 0), (n, j * b))
+                R = R - _mmp(Vall, Vj, transpose_b=True, bf16=pol.bf16)
+            if M is not None:
+                L21 = _mmp(R, M, transpose_b=True, bf16=pol.bf16)
+            else:
+                L21 = solve_triangular(_Lx, R.T, lower=True).T
+            Lbuf = lax.dynamic_update_slice(
+                Lbuf, L21.astype(store_dt), ((j + 1) * b, j * b))
+    v = jnp.concatenate(vs, axis=0)
+    return 2.0 * logdet, jnp.sum(v * v)
+
+
 def evidence_left_fast(kfn, n, m, pol: Policy = DEFAULT):
     """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for the lazily materialized SPD K of size n.
 
