@@ -119,11 +119,12 @@ def main():
     # "left" = the r2 stacked left-looking recursion (the r2 winner, kept
     # as the regression reference); "mega" = the whole-evidence Pallas op.
     candidates = ([("flat-b512", ("flat", Policy(512, True, "xla", True))),
-                   ("flat-b1024", ("flat", Policy(1024, True, "xla", True))),
-                   ("flat-pal-b512",
-                    ("flat", Policy(512, True, "pallas", True))),
-                   ("flat-pal-b1024",
-                    ("flat", Policy(1024, True, "pallas", True))),
+                   ("flat-b512h",
+                    ("flat", Policy(512, True, "xla", True,
+                                    panelhalf=True))),
+                   ("flat-b1024h",
+                    ("flat", Policy(1024, True, "xla", True,
+                                    panelhalf=True))),
                    ("xla-b512", ("left", Policy(512, True, "xla", True))),
                    ("mega-b512", "mega")]
                   if on_tpu

@@ -64,6 +64,11 @@ class Policy(NamedTuple):
     # of stacked-operand materialization drop to O(N²·log(N/base)) node-level
     # copies.  Implies `stack` semantics.
     prestack: bool = False
+    # panelhalf (evidence_flat only): materialize the corrected panel R in
+    # bf16 between the correction dot and the panel solve — half the HBM
+    # bytes, at ~10× the drift of plain bf16 updates (measured 5.9e-3 quad
+    # at N=1024 vs 4.2e-4; still inside the bench's 1e-2 gate, but opt-in)
+    panelhalf: bool = False
 
 
 DEFAULT = Policy()
@@ -257,10 +262,13 @@ def evidence_flat(kfn, n, m, pol: Policy = DEFAULT):
             if j > 0:
                 Vall = lax.slice(Lbuf, ((j + 1) * b, 0), (n, j * b))
                 R = R - _mmp(Vall, Vj, transpose_b=True, bf16=pol.bf16)
+            if pol.bf16 and getattr(pol, "panelhalf", False):
+                R = R.astype(jnp.bfloat16)
             if M is not None:
                 L21 = _mmp(R, M, transpose_b=True, bf16=pol.bf16)
             else:
-                L21 = solve_triangular(_Lx, R.T, lower=True).T
+                L21 = solve_triangular(_Lx, R.astype(_Lx.dtype).T,
+                                       lower=True).T
             Lbuf = lax.dynamic_update_slice(
                 Lbuf, L21.astype(store_dt), ((j + 1) * b, j * b))
     v = jnp.concatenate(vs, axis=0)

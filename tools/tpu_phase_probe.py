@@ -73,11 +73,13 @@ def main():
     t = timeit(mm_chain, (A1, A2), 16, rtt)
     print(f"roofline 8192^3: {2*B**3/t/1e12:.0f} TF/s", flush=True)
 
-    # --- A: dot TF/s vs output width w (carry feeds P, 40 reps) -------------
+    # --- A: dot TF/s vs output width w (carry feeds P MULTIPLICATIVELY —
+    # an additive scalar/rank-1 perturbation distributes through the dot and
+    # XLA exploits it: the first probe run reported >peak TF/s at w>=1024)
     m, k = 12288, 8192
     P0 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     reps_a = 40
-    for w in (256, 512, 1024, 2048, 4096):
+    for w in (256, 512, 768, 1024, 2048):
         Q = jnp.asarray(rng.standard_normal((k, w)), jnp.bfloat16)
 
         @jax.jit
@@ -85,14 +87,31 @@ def main():
             def body(_, P):
                 r = lax.dot_general(P, Q, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-                # fold the output back into P so every rep re-runs the dot
-                s = (r[0, 0] * 1e-30).astype(jnp.bfloat16)
-                return P + s
+                s = (1.0 + r[0, 0] * 1e-30).astype(jnp.bfloat16)
+                return P * s
             return lax.fori_loop(0, reps_a, body, P)[0, 0]
         t = timeit(dchain, (P0, Q), reps_a, rtt)
         print(f"dot ({m},{k})x({k},{w}): {t*1e3:.2f} ms "
               f"= {2*m*k*w/t/1e12:.0f} TF/s (intensity ~{w} fl/B)",
               flush=True)
+
+    # --- A2: BATCHED leaf chol — the deferred-logdet design point: 32
+    # (512,512) blocks in ONE op share the 512-step column chain, so the
+    # per-leaf serial latency amortizes across the batch
+    for (nb_, b_) in ((32, 512), (16, 1024), (64, 256)):
+        Araw = rng.standard_normal((nb_, b_, 16)).astype(np.float32)
+        Kb = jnp.asarray(np.einsum("bik,bjk->bij", Araw, Araw) * 0.02
+                         + np.eye(b_, dtype=np.float32))
+
+        @jax.jit
+        def bchol_chain(Kb):
+            def body(_, Kb):
+                L = jnp.linalg.cholesky(Kb)
+                return Kb + L[0, 0, 0] * 1e-30
+            return lax.fori_loop(0, 64, body, Kb)[0, 0, 0]
+        t = timeit(bchol_chain, (Kb,), 64, rtt)
+        print(f"BATCHED chol ({nb_}x{b_}): {t*1e3:.3f} ms per batch "
+              f"(vs {nb_} serial XLA chols)", flush=True)
 
     # --- B: leaf costs, 512 chained reps ------------------------------------
     reps_b = 512
