@@ -156,8 +156,8 @@ def _factor_diag(A, b):
     return L, M
 
 
-def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
-                 noise_ref, T_ref, ld_ref, quad_ref,
+def _mega_kernel(b, nb, q, D, mode, xs_ref, n2_ref, n2row_ref, m_ref,
+                 var_ref, noise_ref, T_ref, ld_ref, quad_ref,
                  vbuf, stage, rowi, rowj, wsem, rsem_i, rsem_j):
     """One sequential program: the whole N=nb·b factorization (v2 schedule).
 
@@ -196,6 +196,8 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                             precision=lax.Precision.HIGHEST)
         d2 = jnp.maximum(n2_ref[pl.ds(i * b, b), :] +
                          n2row_ref[:, pl.ds(j * b, b)] - 2.0 * G, 0.0)
+        if mode == "nogram":
+            return var * d2          # skip the exp map (slice-timing mode)
         return var * jnp.exp(-d2)
 
     ld_acc = jnp.zeros((1, 1), jnp.float32)
@@ -216,7 +218,17 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
         if j > 0:
             A = A - _dotc0(Vj, Vj)
             wj = wj - _dotc0(Vj, vbuf[pl.ds(0, j * b), :])
-        Ld, Md = _factor_diag(A, b)
+        if mode == "noleaf":
+            # near-free stand-in: diagonal-only "factorization" keeps all
+            # shapes + a data dependency on A (slice-timing mode)
+            eye = (lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
+                   lax.broadcasted_iota(jnp.int32, (1, b), 1)).astype(
+                       jnp.float32)
+            dcol = jnp.max(jnp.abs(A), axis=1, keepdims=True) + 1.0
+            Ld = eye * dcol
+            Md = eye * lax.reciprocal(dcol)
+        else:
+            Ld, Md = _factor_diag(A, b)
         ld_acc = ld_acc + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
         vj = _gemm32(Md, wj)
         vbuf[pl.ds(j * b, b), :] = vj
@@ -228,7 +240,11 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
         def make_row(j, Vj, Md_bf, vj):
             def row(i, _):
                 wslot = lax.rem(i - (j + 1), 2)
-                if j > 0:
+                if j > 0 and mode == "nodma":
+                    # same-shape, same-flop dot against the RESIDENT rowj
+                    # panel — isolates the rowi DMA stream's cost
+                    A = gram(i, j) - _dotc0(Vj, Vj)
+                elif j > 0:
                     rslot = lax.rem(i - (j + 1), 2)
 
                     @pl.when(i + 1 < nb)
@@ -242,7 +258,11 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
                         rowi.at[rslot, pl.ds(0, j)],
                         rsem_i.at[rslot]).wait()
                     Vi = jnp.reshape(rowi[rslot, 0:j], (j * b, b))
-                    A = gram(i, j) - _dotc0(Vi, Vj)
+                    if mode == "nodot":
+                        # keep the DMA observable, skip the wide dot
+                        A = gram(i, j) + Vi[0, 0] * 1e-30
+                    else:
+                        A = gram(i, j) - _dotc0(Vi, Vj)
                 else:
                     A = gram(i, j)
                 LijT = _dotT(Md_bf, A)           # L_jj⁻¹·Aᵀ = L_ijᵀ
@@ -282,9 +302,9 @@ def _mega_kernel(b, nb, q, D, xs_ref, n2_ref, n2row_ref, m_ref, var_ref,
     quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("b", "interpret", "mode"))
 def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, mode: str = "full"):
     """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for K = rbf-Gram(X) + noise·I, one kernel.
 
     N must be a multiple of b (pad upstream); b a multiple of LEAF=128.
@@ -302,7 +322,8 @@ def evidence_mega_rbf(X, m, inv_width, variance, noise, b: int = 512,
     var2d = jnp.reshape(variance.astype(jnp.float32), (1, 1))
     noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
 
-    kern = functools.partial(_mega_kernel, b, nb, q, D)
+    assert mode in ("full", "noleaf", "nodot", "nodma", "nogram")
+    kern = functools.partial(_mega_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(
         kern,
         out_shape=(
