@@ -281,8 +281,16 @@ def evidence_left_fast(kfn, n, m, pol: Policy = DEFAULT):
     `kfn(i0, j0, bi, bj)` returns the raw K block at static offsets (see
     lazy_evidence.rbf_block_fn / kern_block_fn).  L is never assembled.
     """
+    logdet, v = evidence_left_v(kfn, n, m, pol)
+    return logdet, jnp.sum(v * v)
+
+
+def evidence_left_v(kfn, n, m, pol: Policy = DEFAULT):
+    """(logdet K, v = L⁻¹m) — callers needing cross-Gram terms between RHS
+    columns (e.g. the rank-1 bias Woodbury split in lazy_evidence) get the
+    whole forward-solved block instead of the scalar quad."""
     if getattr(pol, "prestack", False):
         _tree, v, logdiag = _chol_left_pre(kfn, n, m, None, 0, pol)
     else:
         _tree, v, logdiag = _chol_left(kfn, n, m, (), pol)
-    return 2.0 * logdiag, jnp.sum(v * v)
+    return 2.0 * logdiag, v

@@ -22,6 +22,7 @@ dense differentiable route in models/gp.py.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -156,6 +157,59 @@ def kern_block_fn(kern, p, X, ridge=0.0):
     return kfn
 
 
+def bias_split(kern):
+    """(kern_without_bias, bias_param_offsets) when the rank-1 Woodbury
+    split applies: `kern` is a top-level Cmpnd with ≥1 Bias children AND a
+    white/whitefixed child keeping the remainder K₀ positive definite.
+
+    The bias kernel contributes c·𝟙𝟙ᵀ — a rank-1 term whose O(N)
+    eigenvalue is exactly what pushes mixed-precision factorizations out of
+    their stability region (1-pass bf16 Schur corrections cancel
+    catastrophically against it at N≳4k).  Splitting it off analytically
+    (Sherman-Morrison/Woodbury) both fixes that and tightens conditioning
+    at any precision.  Returns None when the split doesn't apply."""
+    import dataclasses
+
+    from gpc_tpu.kernels import Bias, Cmpnd
+    if not isinstance(kern, Cmpnd):
+        return None
+    idxs = [i for i, c in enumerate(kern.components) if isinstance(c, Bias)]
+    if not idxs:
+        return None
+    rest = tuple(c for c in kern.components if not isinstance(c, Bias))
+    if not rest or not any(c.kind in ("white", "whitefixed") for c in rest):
+        return None  # K₀ PD-ness not structurally guaranteed
+    off = kern.offsets()
+    slots = tuple(off[i] for i in idxs)  # each Bias holds exactly 1 param
+    return dataclasses.replace(kern, components=rest), slots
+
+
+def _evidence_bias_split(kern0, slots, p, X, m, ridge, pol):
+    """Evidence for K = K₀ + c·𝟙𝟙ᵀ via ONE augmented-RHS factorization of
+    K₀ and exact Sherman-Morrison corrections:
+      logdet K = logdet K₀ + log(1 + c·s),       s  = 𝟙ᵀK₀⁻¹𝟙
+      mⱼᵀK⁻¹mⱼ = mⱼᵀK₀⁻¹mⱼ − c·uⱼ²/(1 + c·s),  uⱼ = 𝟙ᵀK₀⁻¹mⱼ
+    (one extra solve column; all cross terms from the same v = L₀⁻¹[m|𝟙])."""
+    from gpc_tpu.ops.evidence_fast import evidence_left_v
+
+    n = X.shape[0]
+    keep = np.setdiff1d(np.arange(p.shape[0]), np.asarray(slots))
+    p0 = p[jnp.asarray(keep)]
+    c = sum(p[s] for s in slots)
+    rhs = jnp.concatenate([m, jnp.ones((n, 1), m.dtype)], axis=1)
+    kfn = kern_block_fn(kern0, p0, X, ridge)
+    logdet0, v = evidence_left_v(kfn, n, rhs, pol)
+    G = lax.dot_general(v, v, (((0,), (0,)), ((), ())),
+                        preferred_element_type=v.dtype,
+                        precision=lax.Precision.HIGHEST)
+    s = G[-1, -1]
+    u = G[:-1, -1]
+    qm = jnp.diagonal(G)[:-1]
+    denom = 1.0 + c * s
+    return (logdet0 + jnp.log(denom),
+            jnp.sum(qm) - c * jnp.sum(u * u) / denom)
+
+
 def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     """(logdet, quad) for K = kern(X) + ridge·I with Gram tiles fused into
     the factorization — the general-kernel version of `rbf_evidence_lazy`.
@@ -163,8 +217,11 @@ def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     Differentiable (the stacked left-looking engine in ops/evidence_fast
     with leafinv off is pure jnp), so large-N GP-LVM NLMLs can jax.grad
     through it.  GPC_TPU_BF16_EVIDENCE=1 opts the O(N³) update GEMMs into
-    bf16-input/f32-accum (~2× at ~1e-4 logdet drift, tools/tpu_fast_sweep3) —
-    speed runs only, never parity."""
+    bf16-input/f32-accum — with the rank-1 bias component split off
+    analytically (see `bias_split`; GPC_TPU_BIAS_SPLIT=0 disables), the
+    standard CLI kernel family cmpnd(·, bias, white) stays INSIDE the bf16
+    stability region that the unsplit Gram leaves at N≳4k.  Speed runs
+    only, never parity."""
     import os
 
     n = X.shape[0]
@@ -172,9 +229,14 @@ def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
         from gpc_tpu.ops.evidence_fast import Policy, evidence_left_fast
         bf16 = os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1"
+        pol = Policy(base=BASE, bf16=bf16, leafinv=False, stack=True)
+        if os.environ.get("GPC_TPU_BIAS_SPLIT", "1") == "1":
+            sp = bias_split(kern)
+            if sp is not None:
+                return _evidence_bias_split(sp[0], sp[1], jnp.asarray(p), X,
+                                            m, ridge, pol)
         kfn = kern_block_fn(kern, p, X, ridge)
-        return evidence_left_fast(
-            kfn, n, m, Policy(base=BASE, bf16=bf16, leafinv=False, stack=True))
+        return evidence_left_fast(kfn, n, m, pol)
     from gpc_tpu.ops.chol_blocked import evidence_fused
     K = kern.compute(p, X, X) + (kern.white(p) + ridge) * jnp.eye(
         n, dtype=X.dtype)

@@ -62,7 +62,9 @@ def main():
     print(f"rtt={rtt*1e3:.1f} ms", flush=True)
 
     reps = 5
-    for mode, bf16 in (("lazy", "0"), ("fastgrad", "0"), ("fastgrad", "1")):
+    # lazy+bf16 rides the rank-1 bias Woodbury split (lazy_evidence.bias_split)
+    # — without it the bf16 factorization NaNs on this kernel family
+    for mode, bf16 in (("lazy", "0"), ("lazy", "1"), ("fastgrad", "0")):
         os.environ["GPC_TPU_EVIDENCE"] = mode
         os.environ["GPC_TPU_BF16_EVIDENCE"] = bf16
 
