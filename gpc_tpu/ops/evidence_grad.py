@@ -27,6 +27,15 @@ match the exact route to ~2e-2 max relative (measured on the bench problem
 family, tests/test_evidence_grad.py::test_grad_bf16_policy_drift); with bf16
 off the f64 gradients are exact to 1e-7 relative.  Parity paths keep the
 dense jitchol route.
+
+Performance note (measured, BASELINE.md round-3 extras): on the GPLVM-16k
+workload plain jax.grad through the lazy recursion (GPC_TPU_EVIDENCE=lazy,
+141 ms/step) BEATS this explicit-K⁻¹ backward (625 ms at f32-HIGH) — the
+Linvᵀ·Linv product alone costs ~6× the Cholesky's flops, where autodiff's
+transposed-solve backward is ~2×.  Use `lazy` for training throughput;
+`fastgrad` earns its keep when the forward must contain non-differentiable
+pieces (Pallas leaf kernels) or when residual memory from autodiff is the
+binding constraint (this VJP retains only the factor tree + v).
 """
 
 from __future__ import annotations

@@ -137,6 +137,25 @@ def test_gp_ftc_evidence_mode_flag(monkeypatch):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_gplvm_lazy_mode_flag(monkeypatch):
+    """GPC_TPU_EVIDENCE=lazy (the recommended TPU training route): GPLVM
+    NLML value+grad ≡ dense at f64 — through the bias-split fast path."""
+    from gpc_tpu.models.gplvm import GPLVM
+
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal((768, 3))
+    kern = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2), K.White(input_dim=2)))
+    model = GPLVM(kern, y, latent_dim=2)
+    obj = model._make_objective()
+    v_dense, g_dense = jax.value_and_grad(obj)(model.theta)
+    monkeypatch.setenv("GPC_TPU_EVIDENCE", "lazy")
+    v_lazy, g_lazy = jax.value_and_grad(obj)(model.theta)
+    assert abs(float(v_lazy) - float(v_dense)) < 1e-8 * abs(float(v_dense))
+    np.testing.assert_allclose(np.asarray(g_lazy), np.asarray(g_dense),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_nan_objective_scg_rescue():
     """Singular K (duplicate inputs, white → 0) must yield a NaN evidence —
     not a crash — and SCG must reject the NaN step and return finite params
