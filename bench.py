@@ -125,6 +125,8 @@ def main():
                    ("flat-b1024h",
                     ("flat", Policy(1024, True, "xla", True,
                                     panelhalf=True))),
+                   ("flat-b512-noinv",
+                    ("flat", Policy(512, True, False, True))),
                    ("xla-b512", ("left", Policy(512, True, "xla", True))),
                    ("mega-b512", "mega")]
                   if on_tpu

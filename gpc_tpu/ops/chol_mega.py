@@ -260,7 +260,9 @@ def _mega_kernel(b, nb, q, D, mode, xs_ref, n2_ref, n2row_ref, m_ref,
                     Vi = jnp.reshape(rowi[rslot, 0:j], (j * b, b))
                     if mode == "nodot":
                         # keep the DMA observable, skip the wide dot
-                        A = gram(i, j) + Vi[0, 0] * 1e-30
+                        # (bf16 refs can't scalarize on TPU — slice+cast)
+                        A = gram(i, j) + (
+                            Vi[0:1, 0:1].astype(jnp.float32) * 1e-30)
                     else:
                         A = gram(i, j) - _dotc0(Vi, Vj)
                 else:
