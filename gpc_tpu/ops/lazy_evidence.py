@@ -226,10 +226,15 @@ def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
 
     n = X.shape[0]
     on_tpu = jax.default_backend() != "cpu"
-    if (force or on_tpu) and n > 2 * BASE and n % BASE == 0:
+    base = int(os.environ.get("GPC_TPU_EVIDENCE_BASE", BASE))
+    if (force or on_tpu) and n > 2 * base and n % base == 0:
         from gpc_tpu.ops.evidence_fast import Policy, evidence_left_fast
         bf16 = os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1"
-        pol = Policy(base=BASE, bf16=bf16, leafinv=False, stack=True)
+        # prestack: node-level corr arrays (O(N²·log) AD residuals) instead
+        # of per-block stacked operands — the N≫16k headroom knob
+        pre = os.environ.get("GPC_TPU_EVIDENCE_PRESTACK", "0") == "1"
+        pol = Policy(base=base, bf16=bf16, leafinv=False, stack=True,
+                     prestack=pre)
         if os.environ.get("GPC_TPU_BIAS_SPLIT", "1") == "1":
             sp = bias_split(kern)
             if sp is not None:
