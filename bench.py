@@ -255,9 +255,16 @@ def main():
 
         # (b) GP-LVM N=16k training step, lazy fused evidence (anchor 141 ms;
         # the r2 number 531 ms was RTT-methodology-inflated)
+        # pin the exact policy the 141 ms anchor was measured on (lazy,
+        # f32-HIGH) and RESTORE the caller's env afterwards — a user-exported
+        # GPC_TPU_BF16_EVIDENCE=1 must not silently change what this tracked
+        # metric measures
+        saved_env = {k: os.environ.get(k)
+                     for k in ("GPC_TPU_EVIDENCE", "GPC_TPU_BF16_EVIDENCE")}
         try:
             from gpc_tpu.models.gplvm import GPLVM, log_likelihood
             os.environ["GPC_TPU_EVIDENCE"] = "lazy"
+            os.environ["GPC_TPU_BF16_EVIDENCE"] = "0"
             Ng, Dg, qg = 16384, 4, 2
             rngg = np.random.default_rng(0)
             Z = rngg.standard_normal((Ng, qg))
@@ -296,7 +303,11 @@ def main():
             print(f"# gplvm16k extra failed: {type(e).__name__}",
                   file=sys.stderr)
         finally:
-            os.environ.pop("GPC_TPU_EVIDENCE", None)
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
         # (c) IVM selection throughput, N=4096 d=512 (anchor 28676 pts/s)
         try:

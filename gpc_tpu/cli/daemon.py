@@ -103,10 +103,11 @@ def serve():
     path = _sock_path()
     # The daemon executes gp/ivm/gplvm with caller-supplied paths, so the
     # socket must not be reachable by other local users (Linux honors file
-    # perms on connect()): private dir + 0o077 umask for the bind itself.
+    # perms on connect()): private dir + 0o600 socket.  The umask tweak is
+    # saved/RESTORED around the bind alone, so model files the daemon-routed
+    # tools write keep the same permissions as direct CLI runs.
     os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
     os.chmod(os.path.dirname(path), 0o700)
-    os.umask(0o077)
     # stale-socket recovery: if nothing answers, unlink and rebind
     if os.path.exists(path):
         probe = socket.socket(socket.AF_UNIX)
@@ -131,7 +132,11 @@ def serve():
 
     idle = float(os.environ.get("GPC_TPU_DAEMON_IDLE", "900"))
     srv = socket.socket(socket.AF_UNIX)
-    srv.bind(path)
+    old_umask = os.umask(0o077)  # no 0755 window before the chmod below
+    try:
+        srv.bind(path)
+    finally:
+        os.umask(old_umask)
     os.chmod(path, 0o600)
     srv.listen(1)
     srv.settimeout(idle)

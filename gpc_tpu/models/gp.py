@@ -133,14 +133,15 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
         # SCG training steps run at the bench pipeline's speed; the default
         # stays the dense jitchol parity route (see models/gplvm.py note —
         # explicit flag, never a shape-keyed fork).
-        from gpc_tpu.ops.chol_blocked import BASE as _BASE
-        from gpc_tpu.ops.evidence_grad import evidence_mode
+        from gpc_tpu.ops.evidence_grad import (evidence_base, evidence_mode,
+                                               evidence_splits)
         mode = evidence_mode()
-        if mode != "dense" and not (N % _BASE == 0 and N > 2 * _BASE):
+        if mode != "dense" and not evidence_splits(N):
             import warnings
             warnings.warn(
                 f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
-                f"{_BASE} blocks (got N={N}); falling back to dense")
+                f"{evidence_base()} blocks (got N={N}); falling back to "
+                f"dense")
             mode = "dense"
         if mode == "fastgrad":
             from gpc_tpu.ops.evidence_grad import kern_evidence_grad

@@ -148,14 +148,15 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     # objective, which SCG rejects as a failed step (λ growth — optim/scg.py
     # NaN handling) instead of re-jittering (tests/test_evidence_grad.py
     # pins that rescue behavior).
-    from gpc_tpu.ops.chol_blocked import BASE as _BASE
-    from gpc_tpu.ops.evidence_grad import evidence_mode
+    from gpc_tpu.ops.evidence_grad import (evidence_base, evidence_mode,
+                                           evidence_splits)
     mode = evidence_mode()
-    if mode != "dense" and not (N % _BASE == 0 and N > 2 * _BASE):
+    if mode != "dense" and not evidence_splits(N):
         import warnings
         warnings.warn(
-            f"GPC_TPU_EVIDENCE={mode} needs n_data to split into {_BASE} "
-            f"blocks (got N={N}); falling back to the dense evidence")
+            f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
+            f"{evidence_base()} blocks (got N={N}); falling back to the "
+            f"dense evidence")
         mode = "dense"
     if mode == "fastgrad":
         from gpc_tpu.ops.evidence_grad import kern_evidence_grad

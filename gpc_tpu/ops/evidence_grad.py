@@ -162,6 +162,24 @@ def _evidence_vjp_fn(kern, n: int, ridge: float, pol: Policy):
     return evidence
 
 
+def evidence_base() -> int:
+    """The effective lazy-evidence base block (GPC_TPU_EVIDENCE_BASE
+    override, else ops.chol_blocked.BASE) — the models' shape guards and
+    the engines must agree on this so the documented fall-back-with-warning
+    contract holds for every base."""
+    import os
+
+    from gpc_tpu.ops.chol_blocked import BASE
+    return int(os.environ.get("GPC_TPU_EVIDENCE_BASE", BASE))
+
+
+def evidence_splits(n: int) -> bool:
+    """Whether the lazy/fastgrad engines accept size n at the effective
+    base (their shared shape requirement)."""
+    b = evidence_base()
+    return n % b == 0 and n > 2 * b
+
+
 def evidence_mode(default: str = "dense") -> str:
     """Explicit evidence-path selection — GPC_TPU_EVIDENCE = dense | lazy |
     fastgrad.  `dense` (default): jitchol escalation, the parity route.
@@ -200,10 +218,10 @@ def kern_evidence_grad(kern, p, X, m, ridge: float = 0.0,
     X = jnp.asarray(X)
     n = X.shape[0]
     if pol is None:
-        from gpc_tpu.ops.chol_blocked import BASE
         bf16 = (X.dtype == jnp.float32
                 and os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1")
-        pol = Policy(base=BASE, bf16=bf16, leafinv="xla", stack=True)
+        pol = Policy(base=evidence_base(), bf16=bf16, leafinv="xla",
+                     stack=True)
     assert n % pol.base == 0 and n > 2 * pol.base, (
         "kern_evidence_grad needs n to split cleanly; pad or use the dense "
         "path")

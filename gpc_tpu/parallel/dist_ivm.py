@@ -5,8 +5,8 @@ plus a rank-1 refresh of every posterior moment per added point
 (/root/reference/CIvm.cpp:302-365, 366-431).  N is the scaling axis the
 reference has no answer for; here every O(N) quantity (X/y rows, posterior
 mu/varsigma, ADF nu/g, the growing M = (C, d, N) store, the inactive mask)
-is row-sharded over the "dp" mesh axis, while the O(d)/O(d²) site state
-(m/beta sites, the L factor, the selection order) stays replicated:
+is row-sharded over the "dp" mesh axis, while the O(d) site state
+(m/beta sites, the selection order) stays replicated:
 
   entropy argmax  — local argmax per shard, then an all_gather of n_dev
                     (max, global-arg) pairs; first-max-device tie-breaking
@@ -47,7 +47,6 @@ def make_select_points_dist(spec: IvmSpec, mesh: Mesh):
     (pad with valid=0 rows to split evenly), output IvmState with GLOBAL
     (replicated) active_idx/sites and row-sharded moment arrays."""
     n_dev = len(mesh.devices)
-    N_pad = None  # resolved at trace time from shapes
     D, d, C = spec.output_dim, spec.num_active, spec.n_struct
     kern, noise = spec.kern, spec.noise
     cmap = np.zeros(D, np.int32) if C == 1 else np.arange(D, dtype=np.int32)
@@ -66,9 +65,12 @@ def make_select_points_dist(spec: IvmSpec, mesh: Mesh):
         nu0, g0 = noise.nu_g(np_, mu0, vs0, y_l)
         white = kern.white(kp)
 
+        # NOTE: unlike the single-chip scan, no L factor rides the carry —
+        # nothing downstream reads it (training refactors from the sites),
+        # and in the sharded scan its replicated per-step update would be
+        # pure overhead on every device
         init = dict(
             M=jnp.zeros((C, d, B), dt),          # sharded on the last axis
-            L=jnp.zeros((C, d, d), dt),          # replicated
             mu=mu0, vs=vs0, nu=nu0, g=g0,        # sharded rows
             m_site=jnp.zeros((d, D), dt),        # replicated
             beta_site=jnp.zeros((d, D), dt),
@@ -142,8 +144,6 @@ def make_select_points_dist(spec: IvmSpec, mesh: Mesh):
             sqrt_nu = jnp.sqrt(nu_i[jnp.asarray(cmap[:C])])     # (C,)
             M = lax.dynamic_update_index_in_dim(
                 carry["M"], s_l * sqrt_nu[:, None], k, axis=1)
-            Lrow = a.at[:, k].set(1.0 / sqrt_nu)
-            L = lax.dynamic_update_index_in_dim(carry["L"], Lrow, k, axis=1)
 
             s_out = s_l[cmap, :].T                              # (B, D)
             nu_out = nu_i[cmap]                                 # (D,)
@@ -156,7 +156,7 @@ def make_select_points_dist(spec: IvmSpec, mesh: Mesh):
             beta_site = carry["beta_site"].at[k].set(beta_i)
             nu_new, g_new = noise.nu_g(np_, mu, vs, y_l)
 
-            return dict(M=M, L=L, mu=mu, vs=vs, nu=nu_new, g=g_new,
+            return dict(M=M, mu=mu, vs=vs, nu=nu_new, g=g_new,
                         m_site=m_site, beta_site=beta_site, mask=mask,
                         idx=idx), None
 

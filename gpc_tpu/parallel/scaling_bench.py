@@ -51,18 +51,26 @@ def collective_stats(fn, *args):
 
     txt = jax.jit(fn).lower(*args).compile().as_text()
     stats = {}
-    pat = re.compile(
-        r"=\s+(?:\()?(\w+)\[([\d,]*)\]\S*\s+"
+    # match the whole result-shape prefix, THEN extract every shape in it —
+    # XLA's all-reduce combiner merges collectives into TUPLE-shaped ops
+    # ("= (f32[8], f32[]) all-reduce(...)"), which a single-shape regex
+    # silently skips (undercounting the census)
+    line_pat = re.compile(
+        r"=\s+(\([^)]*\)|\S+)\s+"
         r"(all-gather|all-reduce|collective-permute|reduce-scatter|"
-        r"all-to-all)")
-    for dtype, dims, op in pat.findall(txt):
-        numel = 1
-        for d in dims.split(","):
-            if d:
-                numel *= int(d)
+        r"all-to-all)\(")
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    for shapes, op in line_pat.findall(txt):
+        nbytes = 0
+        for dtype, dims in shape_pat.findall(shapes):
+            numel = 1
+            for d in dims.split(","):
+                if d:
+                    numel *= int(d)
+            nbytes += numel * _DTYPE_BYTES.get(dtype, 4)
         ent = stats.setdefault(op, {"count": 0, "bytes": 0})
         ent["count"] += 1
-        ent["bytes"] += numel * _DTYPE_BYTES.get(dtype, 4)
+        ent["bytes"] += nbytes
     return stats
 
 

@@ -42,3 +42,16 @@ def test_collective_stats_counts_psum():
     xs = shard_rows(mesh, jnp.ones((64,)))
     stats = collective_stats(f, xs)
     assert "all-reduce" in stats and stats["all-reduce"]["count"] >= 1
+
+    # XLA's combiner merges multiple psums into ONE tuple-shaped all-reduce
+    # ("= (f32[], f32[]) all-reduce(...)") — the census must count it
+    def g(x):
+        def local(xl):
+            return (jax.lax.psum(xl.sum(), DATA_AXIS),
+                    jax.lax.psum((xl * 2.0).sum(), DATA_AXIS))
+        return jax.shard_map(local, mesh=mesh, in_specs=P(DATA_AXIS),
+                             out_specs=(P(), P()), check_vma=False)(x)
+
+    stats2 = collective_stats(g, xs)
+    assert "all-reduce" in stats2 and stats2["all-reduce"]["count"] >= 1, (
+        stats2)

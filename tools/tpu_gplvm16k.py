@@ -5,10 +5,16 @@ N=1000).  Here one SCG value+grad step of the N=16384 GP-LVM NLML — including
 all N·q latent-coordinate gradients — is timed on the real chip for each
 evidence engine (GPC_TPU_EVIDENCE):
 
-  lazy      — fused lazy factorization, gradients via jax.grad through the
-              recursion (the round-2 path: 531 ms measured 2026-08-20);
-  fastgrad  — same forward, analytic custom VJP (ops/evidence_grad);
-  fastgrad + GPC_TPU_BF16_EVIDENCE=1 — bf16 Schur sweeps both directions.
+  lazy       — fused lazy factorization, gradients via jax.grad through the
+               recursion (141 ms measured with this methodology; the r2
+               record of 531 ms was RTT-inflated);
+  lazy+bf16  — rides the rank-1 bias Woodbury split; still NaNs on THIS
+               workload (the 2-D latent geometry's λmax ≫ ridge is outside
+               any 1-pass-bf16 domain — measured, ROADMAP round 3);
+  fastgrad   — same forward, analytic custom VJP (ops/evidence_grad;
+               measured 625 ms at f32-HIGH — lazy autodiff wins).
+
+The evidence-mode env vars are saved and restored around main().
 
 RTT methodology: the axon value fetch costs a full round trip (26-62 ms);
 measured via trivial syncs (min of 8) and subtracted; steps are chained so
@@ -33,6 +39,20 @@ def sync(x):
 def main():
     from gpc_tpu import kernels as K
     from gpc_tpu.models.gplvm import GPLVM, log_likelihood
+
+    saved_env = {k: os.environ.get(k)
+                 for k in ("GPC_TPU_EVIDENCE", "GPC_TPU_BF16_EVIDENCE")}
+    try:
+        _main_inner(K, GPLVM, log_likelihood)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _main_inner(K, GPLVM, log_likelihood):
 
     N, D, q = 16384, 4, 2
     rng = np.random.default_rng(0)

@@ -75,15 +75,22 @@ def main():
         return jax.lax.fori_loop(0, reps, body,
                                  (jnp.zeros((), jnp.float32), Xt))[0]
 
+    CH = 8192  # chunk the T-wide trsm (a 16k x 65k solve breaks the compiler)
+
     @jax.jit
     def mean_var(L, alpha, Xt):
         def body(_, carry):
             acc, Xc = carry
-            kX = gram(X, Xc)                       # (N, T)
-            mu = kX.T @ alpha
-            v = solve_triangular(L, kX, lower=True)
-            varp = var + noise - jnp.sum(v * v, axis=0)
-            s = jnp.sum(mu) + jnp.sum(varp)
+
+            def chunk(c, s):
+                Xb = jax.lax.dynamic_slice(Xc, (c * CH, 0), (CH, q))
+                kX = gram(X, Xb)                   # (N, CH)
+                mu = kX.T @ alpha
+                v = solve_triangular(L, kX, lower=True)
+                varp = var + noise - jnp.sum(v * v, axis=0)
+                return s + jnp.sum(mu) + jnp.sum(varp)
+            s = jax.lax.fori_loop(0, T // CH, chunk,
+                                  jnp.zeros((), jnp.float32))
             return acc + s, Xc + s * 0.0
         return jax.lax.fori_loop(0, reps, body,
                                  (jnp.zeros((), jnp.float32), Xt))[0]
