@@ -49,18 +49,34 @@ def main():
                          - 2.0 * (A @ B.T), 0.0)
         return var * jnp.exp(-0.5 * iw * d2)
 
+    def blocked_trinv(L, b=2048):
+        """Dense L⁻¹ by recursive block inversion — all GEMMs except the
+        2048-leaf trsms (a single 16k-wide XLA triangular solve crashes the
+        compile helper; serving wants the explicit inverse anyway so every
+        per-batch solve is a pure MXU GEMM)."""
+        n = L.shape[0]
+        if n <= b:
+            return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+        h = n // 2
+        I1 = blocked_trinv(L[:h, :h], b)
+        I2 = blocked_trinv(L[h:, h:], b)
+        Bm = -I2 @ (L[h:, :h] @ I1)
+        top = jnp.concatenate([I1, jnp.zeros((h, n - h), L.dtype)], axis=1)
+        return jnp.concatenate([top, jnp.concatenate([Bm, I2], axis=1)],
+                               axis=0)
+
     @jax.jit
     def factor(X, m):
         K = gram(X, X) + noise * jnp.eye(N, dtype=jnp.float32)
         L = jnp.linalg.cholesky(K)
         alpha = solve_triangular(
             L.T, solve_triangular(L, m, lower=True), lower=False)
-        return L, alpha
+        return L, blocked_trinv(L), alpha
 
     t0 = time.perf_counter()
-    L, alpha = factor(X, m)
+    L, Linv, alpha = factor(X, m)
     sync(alpha)
-    print(f"one-time factor N={N}: {time.perf_counter()-t0-rtt:.2f}s "
+    print(f"one-time factor+inverse N={N}: {time.perf_counter()-t0-rtt:.2f}s "
           f"(incl. compile)", flush=True)
 
     reps = 4
@@ -75,10 +91,10 @@ def main():
         return jax.lax.fori_loop(0, reps, body,
                                  (jnp.zeros((), jnp.float32), Xt))[0]
 
-    CH = 8192  # chunk the T-wide trsm (a 16k x 65k solve breaks the compiler)
+    CH = 8192  # per-chunk (N, CH) work keeps intermediates bounded
 
     @jax.jit
-    def mean_var(L, alpha, Xt):
+    def mean_var(Linv, alpha, Xt):
         def body(_, carry):
             acc, Xc = carry
 
@@ -86,7 +102,7 @@ def main():
                 Xb = jax.lax.dynamic_slice(Xc, (c * CH, 0), (CH, q))
                 kX = gram(X, Xb)                   # (N, CH)
                 mu = kX.T @ alpha
-                v = solve_triangular(L, kX, lower=True)
+                v = Linv @ kX                      # pure GEMM solve
                 varp = var + noise - jnp.sum(v * v, axis=0)
                 return s + jnp.sum(mu) + jnp.sum(varp)
             s = jax.lax.fori_loop(0, T // CH, chunk,
@@ -95,10 +111,12 @@ def main():
         return jax.lax.fori_loop(0, reps, body,
                                  (jnp.zeros((), jnp.float32), Xt))[0]
 
-    for tag, fn in (("mean-only", mean_only), ("mean+variance", mean_var)):
-        sync(fn(L, alpha, Xt))
+    for tag, fn, op in (("mean-only", mean_only, None),
+                        ("mean+variance", mean_var, None)):
+        first = L if fn is mean_only else Linv
+        sync(fn(first, alpha, Xt))
         t0 = time.perf_counter()
-        sync(fn(L, alpha, Xt))
+        sync(fn(first, alpha, Xt))
         t = max(time.perf_counter() - t0 - rtt, 1e-9) / reps
         print(f"{tag}: {t*1e3:.1f} ms per {T}-point batch "
               f"= {T/t/1e6:.2f} M predictions/s", flush=True)
