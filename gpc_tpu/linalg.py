@@ -157,6 +157,26 @@ def tri_solve(L, B, lower: bool = True, trans: bool = False):
     return solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
+def blocked_tri_inv(L, block: int = 2048):
+    """Dense L⁻¹ (L lower triangular) by recursive block inversion:
+      inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹·B·A⁻¹, C⁻¹]]
+    — everything above the leaf size is MXU GEMMs.  Serving uses this once
+    at factor time so every per-batch variance solve becomes a pure GEMM
+    (and a single N-wide XLA triangular solve at N≳16k crashes the axon
+    compile helper; the leaves stay ≤`block`).  Mirrors the reference's own
+    explicit-inverse habit (dpotri, CMatrix.cpp:421-442) at serving scope
+    only — training/evidence paths never build inverses."""
+    n = L.shape[0]
+    if n <= block:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    h = n // 2
+    I1 = blocked_tri_inv(L[:h, :h], block)
+    I2 = blocked_tri_inv(L[h:, h:], block)
+    B = -I2 @ (L[h:, :h] @ I1)
+    top = jnp.concatenate([I1, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    return jnp.concatenate([top, jnp.concatenate([B, I2], axis=1)], axis=0)
+
+
 def pdinv(A):
     """Explicit PD inverse (parity helper; prefer chol_solve in model code)."""
     L, _ = jitchol(A)

@@ -265,6 +265,58 @@ def make_objective(spec: GpSpec, X, y, bias, fixed_scales, X_u_fixed=None):
     return nlml
 
 
+def posterior_state(spec: GpSpec, theta, X, y, bias, fixed_scales,
+                    X_u_fixed=None, explicit_inverse: bool = False):
+    """Everything batch-independent of posteriorMeanVar, factored ONCE:
+    the serving decomposition (CGp recomputes updateAlpha lazily via dirty
+    flags, CGp.cpp:469-534; here the state is an explicit pytree a server
+    holds on-device).  `explicit_inverse` stores L⁻¹ (blocked inversion) so
+    every FTC per-batch variance solve is a pure MXU GEMM instead of an
+    N-wide triangular solve."""
+    X_u, kp, scales, beta = spec.unpack(theta)
+    if X_u is None and spec.sparse:
+        X_u = jnp.asarray(X_u_fixed)
+    scales = scales if spec.learn_scales else jnp.asarray(fixed_scales)
+    m = _scaled_targets(jnp.asarray(y), jnp.asarray(bias), scales)
+    st = dict(kp=kp, scales=scales, bias=jnp.asarray(bias), beta=beta)
+
+    if spec.approx == FTC:
+        K = spec.kern.gram(kp, X)
+        L_K, _ = linalg.jitchol(K)
+        st.update(X=jnp.asarray(X), L=L_K,
+                  alpha=linalg.chol_solve(L_K, m),
+                  Linv=linalg.blocked_tri_inv(L_K) if explicit_inverse
+                  else None)
+        return st
+    _sparse_posterior_state(spec, st, kp, X, X_u, m, beta)
+    return st
+
+
+def posterior_apply(spec: GpSpec, st, Xtest):
+    """One batch of predictive mean/variance against a `posterior_state`."""
+    kp, scales = st["kp"], st["scales"]
+    Xtest = jnp.asarray(Xtest)
+    kstar_diag = spec.kern.diag(kp, Xtest)
+    if spec.approx == FTC:
+        kX = spec.kern.compute(kp, st["X"], Xtest)        # (N, T)
+        mu0 = kX.T @ st["alpha"]                          # (T, D)
+        v = (st["Linv"] @ kX if st["Linv"] is not None
+             else linalg.tri_solve(st["L"], kX))          # L⁻¹ kX
+        var0 = kstar_diag - jnp.sum(v * v, axis=0)        # (T,)
+    else:
+        beta = st["beta"]
+        kX = spec.kern.compute(kp, st["X_u"], Xtest)      # (M, T)
+        w1 = linalg.tri_solve(st["L_uu"], kX)             # L_uu⁻¹ k_*
+        mu0 = w1.T @ st["u"]                              # k_*ᵀ·A⁻¹·rhs
+        # var = k** − k_*ᵀ(invK_uu − A⁻¹/β)k_* + 1/β (CGp.cpp:575-605)
+        w2 = linalg.tri_solve(st["L_m"], w1)
+        var0 = (kstar_diag - jnp.sum(w1 * w1, axis=0)
+                + jnp.sum(w2 * w2, axis=0) / beta + 1.0 / beta)
+    mu = mu0 * scales[None, :] + st["bias"][None, :]
+    var = var0[:, None] * (scales ** 2)[None, :]
+    return mu, var
+
+
 def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
               X_u_fixed=None):
     """Predictive mean/variance (posteriorMeanVar, CGp.cpp:548-663).
@@ -273,85 +325,65 @@ def posterior(spec: GpSpec, theta, X, y, bias, fixed_scales, Xtest,
     varsigma is (T, D) (spherical — same value replicated per output, scaled by
     scale², CGp.cpp:575-625).
     """
-    X_u, kp, scales, beta = spec.unpack(theta)
-    if X_u is None and spec.sparse:
-        X_u = jnp.asarray(X_u_fixed)
-    scales = scales if spec.learn_scales else jnp.asarray(fixed_scales)
-    m = _scaled_targets(jnp.asarray(y), jnp.asarray(bias), scales)
-    Xtest = jnp.asarray(Xtest)
-    kstar_diag = spec.kern.diag(kp, Xtest)
+    st = posterior_state(spec, theta, X, y, bias, fixed_scales,
+                         X_u_fixed=X_u_fixed)
+    return posterior_apply(spec, st, Xtest)
 
-    if spec.approx == FTC:
-        K = spec.kern.gram(kp, X)
-        L_K, _ = linalg.jitchol(K)
-        alpha = linalg.chol_solve(L_K, m)                 # (N, D)
-        kX = spec.kern.compute(kp, X, Xtest)              # (N, T)
-        mu0 = kX.T @ alpha                                # (T, D)
-        v = linalg.tri_solve(L_K, kX)                     # L⁻¹ kX
-        var0 = kstar_diag - jnp.sum(v * v, axis=0)        # (T,)
-    else:
-        # All sparse branches factor A = (1/β)K_uu + K_uf·D⁻¹·K_fu through the
-        # L_uu-whitened Am = I/β + Ṽ·Ṽᵀ (Ṽ = L_uu⁻¹K_uf·D^-½), matching the
-        # evidence paths: same quantities as the reference's direct A
-        # (CGp.cpp:575-625) at cond(Am) ≪ cond(A).
-        K_uu = spec.kern.gram(kp, X_u)
-        K_uf = spec.kern.compute(kp, X_u, X)
-        L_uu, _ = linalg.jitchol(K_uu)
-        M_ = K_uf.shape[0]
-        if spec.approx == FITC:
-            V0 = linalg.tri_solve(L_uu, K_uf)             # L_uu⁻¹ K_uf
-            diagQ = jnp.sum(V0 * V0, axis=0)
-            diagD = 1.0 + beta * (spec.kern.diag(kp, X) - diagQ)
-            sDinv = jnp.sqrt(1.0 / diagD)
-            V = V0 * sDinv[None, :]
-            Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
-            e = V @ (m * sDinv[:, None])                  # Ṽ·D^-½·m
-        elif spec.approx == PITC:
-            # block-diagonal D⁻¹ applied via batched Cholesky solves; a test
-            # point forms its own block, so mean/var take the FITC form with
-            # PITC's A (Quiñonero-Candela & Rasmussen 2005, eq. 24-25).
-            N_ = K_uf.shape[1]
-            Bp = spec.block_size
-            P = -(-N_ // Bp)
-            pad = P * Bp - N_
-            q = spec.input_dim
-            Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
-            Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
-                Xp.reshape(P, Bp, q))
-            Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
-            Vb = linalg.tri_solve(L_uu, Kuf_p).reshape(M_, P, Bp)
-            Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
-            Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
-            valid = (jnp.arange(P * Bp) < N_).reshape(P, Bp)
-            vmask = valid[:, :, None] & valid[:, None, :]
-            Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
-            Cb = jnp.linalg.cholesky(Db)
-            from jax.scipy.linalg import solve_triangular as _st
-            Wb = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # C⁻¹Ṽᵀ
-            Am = (jnp.eye(M_, dtype=Wb.dtype) / beta
-                  + jnp.einsum("pbm,pbn->mn", Wb, Wb))
-            m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
-            sMb = _st(Cb, m_p, lower=True)
-            e = jnp.einsum("pbm,pbd->md", Wb, sMb)
-        else:  # DTC / DTCVAR
-            V = linalg.tri_solve(L_uu, K_uf)
-            Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
-            e = V @ m
-        L_m, _ = linalg.jitchol(Am)
-        u = linalg.chol_solve(L_m, e)                     # Am⁻¹·(Ṽ·D^-½·m)
-        kX = spec.kern.compute(kp, X_u, Xtest)            # (M, T)
-        w1 = linalg.tri_solve(L_uu, kX)                   # L_uu⁻¹ k_*
-        mu0 = w1.T @ u                                    # k_*ᵀ·A⁻¹·rhs
-        # var = k** − k_*ᵀ(invK_uu − A⁻¹/β)k_* + 1/β (CGp.cpp:575-605):
-        # k_*ᵀA⁻¹k_* = ‖L_m⁻¹·L_uu⁻¹·k_*‖²
-        w2 = linalg.tri_solve(L_m, w1)
-        var0 = (kstar_diag - jnp.sum(w1 * w1, axis=0)
-                + jnp.sum(w2 * w2, axis=0) / beta)
-        var0 = var0 + 1.0 / beta
 
-    mu = mu0 * scales[None, :] + jnp.asarray(bias)[None, :]
-    var = var0[:, None] * (scales ** 2)[None, :]
-    return mu, var
+def _sparse_posterior_state(spec: GpSpec, st, kp, X, X_u, m, beta):
+    """(L_uu, L_m, u) for the sparse family — shared serving form: every
+    approximation's mean/var applies the same (w1, w2) formulas; only the
+    whitened Am/e assembly differs."""
+    # All sparse branches factor A = (1/β)K_uu + K_uf·D⁻¹·K_fu through the
+    # L_uu-whitened Am = I/β + Ṽ·Ṽᵀ (Ṽ = L_uu⁻¹K_uf·D^-½), matching the
+    # evidence paths: same quantities as the reference's direct A
+    # (CGp.cpp:575-625) at cond(Am) ≪ cond(A).
+    K_uu = spec.kern.gram(kp, X_u)
+    K_uf = spec.kern.compute(kp, X_u, X)
+    L_uu, _ = linalg.jitchol(K_uu)
+    M_ = K_uf.shape[0]
+    if spec.approx == FITC:
+        V0 = linalg.tri_solve(L_uu, K_uf)             # L_uu⁻¹ K_uf
+        diagQ = jnp.sum(V0 * V0, axis=0)
+        diagD = 1.0 + beta * (spec.kern.diag(kp, X) - diagQ)
+        sDinv = jnp.sqrt(1.0 / diagD)
+        V = V0 * sDinv[None, :]
+        Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
+        e = V @ (m * sDinv[:, None])                  # Ṽ·D^-½·m
+    elif spec.approx == PITC:
+        # block-diagonal D⁻¹ applied via batched Cholesky solves; a test
+        # point forms its own block, so mean/var take the FITC form with
+        # PITC's A (Quiñonero-Candela & Rasmussen 2005, eq. 24-25).
+        N_ = K_uf.shape[1]
+        Bp = spec.block_size
+        P = -(-N_ // Bp)
+        pad = P * Bp - N_
+        q = spec.input_dim
+        Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
+        Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
+            Xp.reshape(P, Bp, q))
+        Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
+        Vb = linalg.tri_solve(L_uu, Kuf_p).reshape(M_, P, Bp)
+        Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
+        Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
+        valid = (jnp.arange(P * Bp) < N_).reshape(P, Bp)
+        vmask = valid[:, :, None] & valid[:, None, :]
+        Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
+        Cb = jnp.linalg.cholesky(Db)
+        from jax.scipy.linalg import solve_triangular as _st
+        Wb = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # C⁻¹Ṽᵀ
+        Am = (jnp.eye(M_, dtype=Wb.dtype) / beta
+              + jnp.einsum("pbm,pbn->mn", Wb, Wb))
+        m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
+        sMb = _st(Cb, m_p, lower=True)
+        e = jnp.einsum("pbm,pbd->md", Wb, sMb)
+    else:  # DTC / DTCVAR
+        V = linalg.tri_solve(L_uu, K_uf)
+        Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T
+        e = V @ m
+    L_m, _ = linalg.jitchol(Am)
+    st.update(X_u=X_u, L_uu=L_uu, L_m=L_m,
+              u=linalg.chol_solve(L_m, e))            # Am⁻¹·(Ṽ·D^-½·m)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""GPServer (gpc_tpu/serving.py): factored batch prediction ≡ GP.predict.
+
+Pins the factor-once/serve-chunks decomposition against the reference-parity
+posterior (CGp::posteriorMeanVar, CGp.cpp:548-663) for the full and sparse
+families, ragged batch tails, and the explicit-inverse variant.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpc_tpu import kernels as K
+from gpc_tpu.models.gp import GP
+from gpc_tpu.serving import GPServer
+
+
+def _model(approx, N=96, q=2, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((N, q))
+    y = np.sin(X[:, :1]) + 0.05 * rng.standard_normal((N, 1))
+    kern = K.Cmpnd(input_dim=q, components=(
+        K.Rbf(input_dim=q), K.Bias(input_dim=q), K.White(input_dim=q)))
+    return GP(kern, X, y, approx=approx, centre=True, seed=seed, **kw), rng
+
+
+@pytest.mark.parametrize("approx,kw", [
+    ("ftc", {}),
+    ("dtc", {"num_active": 12}),
+    ("fitc", {"num_active": 12}),
+])
+def test_server_matches_predict(approx, kw):
+    model, rng = _model(approx, **kw)
+    Xt = rng.standard_normal((37, 2))
+    want_mu, want_var = model.predict(Xt)
+    srv = GPServer(model, chunk=16)   # 37 = 2 full chunks + ragged tail of 5
+    mu, var = srv.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_server_explicit_inverse():
+    model, rng = _model("ftc")
+    Xt = rng.standard_normal((24, 2))
+    want_mu, want_var = model.predict(Xt)
+    srv = GPServer(model, chunk=24, explicit_inverse=True)
+    mu, var = srv.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-9,
+                               atol=1e-11)
+
+
+def test_blocked_tri_inv():
+    from gpc_tpu.linalg import blocked_tri_inv
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((96, 8))
+    Kd = jnp.asarray(A @ A.T * 0.1 + np.eye(96))
+    L = jnp.linalg.cholesky(Kd)
+    Minv = blocked_tri_inv(L, block=32)
+    np.testing.assert_allclose(np.asarray(Minv @ L), np.eye(96),
+                               rtol=0, atol=1e-10)
+    # strictly upper triangle is exactly zero
+    assert float(jnp.abs(jnp.triu(Minv, 1)).max()) == 0.0
+
+
+def test_server_small_request_single_chunk():
+    model, rng = _model("ftc")
+    srv = GPServer(model, chunk=64)
+    Xt = rng.standard_normal((7, 2))
+    want_mu, want_var = model.predict(Xt)
+    mu, var = srv.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                               atol=1e-12)
