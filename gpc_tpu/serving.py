@@ -39,13 +39,25 @@ class GPServer:
     """
 
     def __init__(self, model: GP, chunk: int = 8192,
-                 explicit_inverse: Optional[bool] = None):
+                 explicit_inverse: Optional[bool] = None, mesh=None):
         self.spec = model.spec
         self.chunk = int(chunk)
         if explicit_inverse is None:
             explicit_inverse = (self.spec.approx == "ftc"
                                 and jax.default_backend() != "cpu")
         X_u_fixed = getattr(model, "X_u_fixed", None)
+
+        # multi-chip serving: prediction is embarrassingly parallel over the
+        # batch dim — shard each chunk's rows over the mesh and let GSPMD
+        # partition the cross-Gram + GEMMs (state replicated; collectives
+        # are nothing but the final per-row outputs staying local)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from gpc_tpu.parallel.mesh import DATA_AXIS
+            assert self.chunk % len(mesh.devices) == 0, (
+                "chunk must divide the device count")
+            self._sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
         state_fn = jax.jit(lambda theta, X, y: posterior_state(
             self.spec, theta, X, y, model.bias, model.fixed_scales,
@@ -65,12 +77,17 @@ class GPServer:
         for c0 in range(0, T, ch):
             Xb = Xtest[c0:c0 + ch]
             pad = ch - Xb.shape[0]
-            if pad and T > ch:
-                # keep ONE compiled shape: pad the ragged tail
+            if pad and (T > ch or self._sharding is not None):
+                # keep ONE compiled shape (and even shards): pad the tail
                 Xb = np.concatenate(
                     [Xb, np.zeros((pad, Xb.shape[1]), Xb.dtype)], axis=0)
-            mu, var = self._apply(self.state, jnp.asarray(Xb))
-            if pad and T > ch:
+            else:
+                pad = 0
+            Xj = jnp.asarray(Xb)
+            if self._sharding is not None:
+                Xj = jax.device_put(Xj, self._sharding)
+            mu, var = self._apply(self.state, Xj)
+            if pad:
                 mu, var = mu[:-pad], var[:-pad]
             mus.append(np.asarray(mu))
             vars_.append(np.asarray(var))

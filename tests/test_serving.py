@@ -65,6 +65,26 @@ def test_blocked_tri_inv():
     assert float(jnp.abs(jnp.triu(Minv, 1)).max()) == 0.0
 
 
+def test_server_sharded_batches():
+    """Multi-chip serving: chunk rows sharded over the mesh (GSPMD) must
+    reproduce the single-device predictions exactly."""
+    import jax
+    from gpc_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = data_mesh(8)
+    model, rng = _model("ftc")
+    Xt = rng.standard_normal((52, 2))   # ragged vs chunk 16
+    want_mu, want_var = model.predict(Xt)
+    srv = GPServer(model, chunk=16, mesh=mesh)
+    mu, var = srv.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                               atol=1e-12)
+
+
 def test_server_small_request_single_chunk():
     model, rng = _model("ftc")
     srv = GPServer(model, chunk=64)
