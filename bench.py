@@ -256,15 +256,16 @@ def main():
         # (b) GP-LVM N=16k training step, lazy fused evidence (anchor 141 ms;
         # the r2 number 531 ms was RTT-methodology-inflated)
         # pin the exact policy the 141 ms anchor was measured on (lazy,
-        # f32-HIGH) and RESTORE the caller's env afterwards — a user-exported
-        # GPC_TPU_BF16_EVIDENCE=1 must not silently change what this tracked
-        # metric measures
-        saved_env = {k: os.environ.get(k)
-                     for k in ("GPC_TPU_EVIDENCE", "GPC_TPU_BF16_EVIDENCE")}
+        # f32-HIGH, default base/prestack/bias-split) and RESTORE the
+        # caller's env afterwards — NO user-exported evidence knob may
+        # silently change what this tracked metric measures
+        pins = {"GPC_TPU_EVIDENCE": "lazy", "GPC_TPU_BF16_EVIDENCE": "0",
+                "GPC_TPU_EVIDENCE_BASE": "256",
+                "GPC_TPU_EVIDENCE_PRESTACK": "0", "GPC_TPU_BIAS_SPLIT": "1"}
+        saved_env = {k: os.environ.get(k) for k in pins}
         try:
             from gpc_tpu.models.gplvm import GPLVM, log_likelihood
-            os.environ["GPC_TPU_EVIDENCE"] = "lazy"
-            os.environ["GPC_TPU_BF16_EVIDENCE"] = "0"
+            os.environ.update(pins)
             Ng, Dg, qg = 16384, 4, 2
             rngg = np.random.default_rng(0)
             Z = rngg.standard_normal((Ng, qg))

@@ -224,9 +224,11 @@ def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     only, never parity."""
     import os
 
+    from gpc_tpu.ops.evidence_grad import evidence_base
+
     n = X.shape[0]
     on_tpu = jax.default_backend() != "cpu"
-    base = int(os.environ.get("GPC_TPU_EVIDENCE_BASE", BASE))
+    base = evidence_base()  # ONE resolution point, shared with the models'
     if (force or on_tpu) and n > 2 * base and n % base == 0:
         from gpc_tpu.ops.evidence_fast import Policy, evidence_left_fast
         bf16 = os.environ.get("GPC_TPU_BF16_EVIDENCE", "0") == "1"

@@ -55,10 +55,13 @@ def collective_stats(fn, *args):
     # XLA's all-reduce combiner merges collectives into TUPLE-shaped ops
     # ("= (f32[8], f32[]) all-reduce(...)"), which a single-shape regex
     # silently skips (undercounting the census)
+    # "-start" variants: TPU post-optimization HLO wraps collectives as
+    # async start/done pairs — count the starts (dropping them would report
+    # an empty census on exactly the hardware this characterizes)
     line_pat = re.compile(
         r"=\s+(\([^)]*\)|\S+)\s+"
         r"(all-gather|all-reduce|collective-permute|reduce-scatter|"
-        r"all-to-all)\(")
+        r"all-to-all)(?:-start)?\(")
     shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
     for shapes, op in line_pat.findall(txt):
         nbytes = 0

@@ -56,7 +56,7 @@ class GPServer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from gpc_tpu.parallel.mesh import DATA_AXIS
             assert self.chunk % len(mesh.devices) == 0, (
-                "chunk must divide the device count")
+                "chunk must be a multiple of the device count")
             self._sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
         state_fn = jax.jit(lambda theta, X, y: posterior_state(
@@ -72,6 +72,9 @@ class GPServer:
         chunks against the precomputed state (one compiled program)."""
         Xtest = np.asarray(Xtest)
         T = Xtest.shape[0]
+        if T == 0:  # match GP.predict's (0, D) output on empty requests
+            D = int(np.asarray(self.state["scales"]).shape[0])
+            return np.zeros((0, D)), np.zeros((0, D))
         ch = self.chunk
         mus, vars_ = [], []
         for c0 in range(0, T, ch):

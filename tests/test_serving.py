@@ -51,6 +51,13 @@ def test_server_explicit_inverse():
                                atol=1e-11)
 
 
+def test_server_empty_request():
+    model, _ = _model("ftc")
+    srv = GPServer(model, chunk=16)
+    mu, var = srv.predict(np.zeros((0, 2)))
+    assert mu.shape == (0, 1) and var.shape == (0, 1)
+
+
 def test_blocked_tri_inv():
     from gpc_tpu.linalg import blocked_tri_inv
 

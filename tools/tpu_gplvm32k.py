@@ -14,10 +14,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["GPC_TPU_EVIDENCE"] = "lazy"
-os.environ["GPC_TPU_EVIDENCE_BASE"] = "1024"
-os.environ["GPC_TPU_EVIDENCE_PRESTACK"] = "1"
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,7 +23,26 @@ def sync(x):
     return float(jnp.ravel(x)[0])
 
 
+_PINS = {"GPC_TPU_EVIDENCE": "lazy", "GPC_TPU_EVIDENCE_BASE": "1024",
+         "GPC_TPU_EVIDENCE_PRESTACK": "1"}
+
+
 def main():
+    # env pins saved/restored around the run (never mutated at import —
+    # a shared interpreter must not inherit base=1024/prestack=1)
+    saved = {k: os.environ.get(k) for k in _PINS}
+    os.environ.update(_PINS)
+    try:
+        _main_inner()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _main_inner():
     from gpc_tpu import kernels as K
     from gpc_tpu.models.gplvm import GPLVM, log_likelihood
 

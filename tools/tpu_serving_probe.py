@@ -49,21 +49,7 @@ def main():
                          - 2.0 * (A @ B.T), 0.0)
         return var * jnp.exp(-0.5 * iw * d2)
 
-    def blocked_trinv(L, b=2048):
-        """Dense L⁻¹ by recursive block inversion — all GEMMs except the
-        2048-leaf trsms (a single 16k-wide XLA triangular solve crashes the
-        compile helper; serving wants the explicit inverse anyway so every
-        per-batch solve is a pure MXU GEMM)."""
-        n = L.shape[0]
-        if n <= b:
-            return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
-        h = n // 2
-        I1 = blocked_trinv(L[:h, :h], b)
-        I2 = blocked_trinv(L[h:, h:], b)
-        Bm = -I2 @ (L[h:, :h] @ I1)
-        top = jnp.concatenate([I1, jnp.zeros((h, n - h), L.dtype)], axis=1)
-        return jnp.concatenate([top, jnp.concatenate([Bm, I2], axis=1)],
-                               axis=0)
+    from gpc_tpu.linalg import blocked_tri_inv as blocked_trinv
 
     @jax.jit
     def factor(X, m):
