@@ -31,7 +31,8 @@ def _help():
           "Learn options: -C centre (1) -S scale (0) -L learn-scales (0)\n"
           "  -A ftc|dtc|dtcvar|fitc|pitc  -a active-set-size  -k kernel (rbf|lin|mlp|poly|exp|ratquad)\n"
           "  -g gamma -v variance -w weight-var -b bias-var -d degree -i input-select\n"
-          "  -O scg|conjgrad|graddesc  -# iters  -f format")
+          "  -O scg|conjgrad|graddesc  -# iters  -f format\n"
+          "  -c ckpt-file [--checkpoint-every N] [-r resume]  preemption checkpoints")
 
 
 def learn(cl: CommandLine):
@@ -43,11 +44,20 @@ def learn(cl: CommandLine):
     iters = 1000
     optimiser = "scg"
     model_file = "gp_model"
+    ckpt_path, ckpt_every, resume = None, 50, False
     while cl.is_flag():
         arg = cl.current()
         if arg in ("-?", "-h", "--help"):
             _help()
             return
+        elif arg in ("-c", "--checkpoint"):
+            # extension beyond the reference (SURVEY §5): periodic atomic
+            # SCG-state checkpoints for preemption recovery
+            ckpt_path = cl.get_string(); cl.advance()
+        elif arg == "--checkpoint-every":
+            ckpt_every = cl.get_int(); cl.advance()
+        elif arg in ("-r", "--resume"):
+            resume = True; cl.advance()
         elif arg in ("-C", "--Centre-data"):
             centre = cl.get_bool(); cl.advance()
         elif arg in ("-L", "--Learn-scales"):
@@ -100,7 +110,9 @@ def learn(cl: CommandLine):
         kern_params, X_u=model.inducing(),
         scales=model.fixed_scales if learn_scales else None,
         beta=1.0 if model.spec.sparse else None))
-    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
+    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity,
+                         ckpt_path=ckpt_path, ckpt_every=ckpt_every,
+                         resume=resume)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

@@ -22,7 +22,8 @@ def _help():
           "Learn options: -x latent-dim (2) -c back-kernel -D dynamics-kernel\n"
           "  -dr dynamics-SNR -ds dynamics-scale -C centre (1) -S scale (0)\n"
           "  -L learn-scales -R regularise-latent (1) -I pca|rand\n"
-          "  -k kernel specs (-g/-v/-w/-b/-d/-i)  -O optimiser  -# iters")
+          "  -k kernel specs (-g/-v/-w/-b/-d/-i)  -O optimiser  -# iters\n"
+          "  --checkpoint file [--checkpoint-every N] [--resume]  preemption checkpoints")
 
 
 def learn(cl: CommandLine):
@@ -40,11 +41,21 @@ def learn(cl: CommandLine):
     dynamics_scale = 0.5
     iters = 1000
     model_file = "gplvm_model"
+    ckpt_path, ckpt_every, resume = None, 50, False
     while cl.is_flag():
         arg = cl.current()
         if arg in ("-?", "-h", "--help"):
             _help()
             return
+        elif arg == "--checkpoint":
+            # extension beyond the reference (SURVEY §5): periodic atomic
+            # SCG-state checkpoints for preemption recovery ("-c" is taken
+            # by back constraints here, so long-form only)
+            ckpt_path = cl.get_string(); cl.advance()
+        elif arg == "--checkpoint-every":
+            ckpt_every = cl.get_int(); cl.advance()
+        elif arg == "--resume":
+            resume = True; cl.advance()
         elif arg in ("-x", "--latent-dim"):
             latent_dim = cl.get_int(); cl.advance()
         elif arg in ("-c", "--constrained"):
@@ -149,7 +160,9 @@ def learn(cl: CommandLine):
         np.asarray(model.spec.unpack(model.theta)[2]),
         dyn_params=dyn_params if (dyn_kern is not None and dyn_learnt) else None,
         scales=model.fixed_scales if learn_scales else None))
-    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
+    res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity,
+                         ckpt_path=ckpt_path, ckpt_every=ckpt_every,
+                         resume=resume)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")

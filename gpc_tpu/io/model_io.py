@@ -28,6 +28,18 @@ APPROX_NAME = {v: k for k, v in APPROX_CODE.items()}
 # low-level stream helpers
 # ---------------------------------------------------------------------------
 
+def _parse_float(s: str) -> float:
+    """float() plus C99 hexfloat ("0x1.99…p-3"): once the reference has
+    streamed a scientific-formatted matrix, its ios flags are fixed|scientific
+    — which C++11 renders as HEXFLOAT — so every later version= line in an
+    oracle-written file is hex (CNdlInterfaces.h:27-31 sets flags without
+    clearing; its own strtod-based reader accepts both, and so must we)."""
+    try:
+        return float(s)
+    except ValueError:
+        return float.fromhex(s)
+
+
 class Reader:
     def __init__(self, text: str):
         # comment lines are skipped wherever they appear (ndlstrutil.h:17-18)
@@ -49,8 +61,8 @@ class Reader:
             raise ValueError(f"Stream format error: expected field {name}, got {key}")
         return val
 
-    def int_(self, name): return int(float(self.field(name)))
-    def float_(self, name): return float(self.field(name))
+    def int_(self, name): return int(_parse_float(self.field(name)))
+    def float_(self, name): return _parse_float(self.field(name))
     def bool_(self, name): return self.int_(name) != 0
 
     def version(self):
@@ -72,7 +84,7 @@ class Reader:
             toks = self.line().split()
             if len(toks) != cols:
                 raise ValueError(f"Incorrect number of columns in row {i}")
-            out[i] = [float(t) for t in toks]
+            out[i] = [_parse_float(t) for t in toks]
         return out
 
 
@@ -295,7 +307,10 @@ def write_ivm(path, model, comment: str = ""):
     if comment:
         w.buf.write(f"# {comment}\n")
     w.version()
-    w.field("baseType", "dataModel")
+    # CIvm extends CMapModel, whose ctor sets baseType "mapModel"
+    # (CDataModel.h:118) — unlike CGp/CGplvm's "dataModel"; the reference
+    # reader hard-errors on a mismatch (CIvm.cpp:793-795)
+    w.field("baseType", "mapModel")
     w.field("type", "ivm")
     w.field("numData", spec.n_data)
     w.field("outputDim", spec.output_dim)
@@ -330,7 +345,10 @@ def read_ivm(path, X=None, y=None):
     with open(path) as f:
         r = Reader(f.read())
     r.version()
-    if r.field("baseType") != "dataModel" or r.field("type") != "ivm":
+    # accept "dataModel" too: files written by gpc_tpu rounds ≤3 used it
+    # (the reference's own CIvm writes "mapModel", CDataModel.h:118)
+    if r.field("baseType") not in ("mapModel", "dataModel") or \
+            r.field("type") != "ivm":
         raise ValueError("not an ivm model file")
     n_data = r.int_("numData")
     output_dim = r.int_("outputDim")

@@ -128,21 +128,16 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
     N, D = spec.n_data, spec.output_dim
 
     if spec.approx == FTC:
-        # GPC_TPU_EVIDENCE=fastgrad|lazy routes the FTC hot block through the
-        # fused lazy factorization (bf16 + custom VJP / f32-HIGH autodiff) so
-        # SCG training steps run at the bench pipeline's speed; the default
-        # stays the dense jitchol parity route (see models/gplvm.py note —
-        # explicit flag, never a shape-keyed fork).
-        from gpc_tpu.ops.evidence_grad import (evidence_base, evidence_mode,
-                                               evidence_splits)
-        mode = evidence_mode()
-        if mode != "dense" and not evidence_splits(N):
-            import warnings
-            warnings.warn(
-                f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
-                f"{evidence_base()} blocks (got N={N}); falling back to "
-                f"dense")
-            mode = "dense"
+        # GPC_TPU_EVIDENCE=fastgrad|lazy|iterative routes the FTC hot block
+        # through the fused lazy factorization (bf16 + custom VJP / f32-HIGH
+        # autodiff) or the matrix-free CG+SLQ engine so SCG training steps run
+        # at the bench pipeline's speed / past dense-HBM N.  An explicit flag
+        # always wins; with the flag unset select_evidence_mode picks a
+        # backend-aware default (TPU+splitting-N → lazy, else the dense
+        # jitchol parity route — the dense N-wide solve crashes the TPU
+        # compile helper at N≳16k).
+        from gpc_tpu.ops.evidence_grad import select_evidence_mode
+        mode = select_evidence_mode(N)
         if mode == "fastgrad":
             from gpc_tpu.ops.evidence_grad import kern_evidence_grad
             Xj = jnp.asarray(X)
@@ -151,6 +146,10 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
             from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
             logdetK, quad = kern_evidence_lazy(spec.kern, kp, jnp.asarray(X),
                                                m, force=True)
+        elif mode == "iterative":
+            from gpc_tpu.ops.iterative import kern_evidence_iterative
+            logdetK, quad = kern_evidence_iterative(spec.kern, kp,
+                                                    jnp.asarray(X), m)
         else:
             K = spec.kern.gram(kp, X)
             logdetK, quad, _L = linalg.evidence_terms(K, m)
@@ -302,7 +301,10 @@ def posterior_apply(spec: GpSpec, st, Xtest):
         mu0 = kX.T @ st["alpha"]                          # (T, D)
         v = (st["Linv"] @ kX if st["Linv"] is not None
              else linalg.tri_solve(st["L"], kX))          # L⁻¹ kX
-        var0 = kstar_diag - jnp.sum(v * v, axis=0)        # (T,)
+        # clamp at 0: near-singular K / test points on training points can
+        # round var0 slightly negative (especially the explicit-inverse f32
+        # serving GEMM), and clients get the spherical-variance contract
+        var0 = jnp.maximum(kstar_diag - jnp.sum(v * v, axis=0), 0.0)  # (T,)
     else:
         beta = st["beta"]
         kX = spec.kern.compute(kp, st["X_u"], Xtest)      # (M, T)
@@ -441,18 +443,23 @@ class GP:
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
                  obj_tol: float = 1e-6, optimiser: str = "scg",
-                 verbose: int = 0):
+                 verbose: int = 0, ckpt_path: str = None,
+                 ckpt_every: int = 50, resume: bool = False):
         """SCG by default (runDefaultOptimiser, COptimisable.h:183-203);
         conjgrad/graddesc/quasinew per the reference optimiser names
         (COptimisable.h:153-182).  At verbose>2 with <40 params a
         finite-difference gradient check runs first, as in CGp::optimise
-        (CGp.cpp:1544-1545)."""
+        (CGp.cpp:1544-1545).  ckpt_path enables mid-run preemption
+        checkpoints every `ckpt_every` SCG iterations; resume=True continues
+        a killed run from the file on the bit-identical trajectory."""
         vag = jax.jit(jax.value_and_grad(self._objective))
         if verbose > 2 and int(np.asarray(self.theta).size) < 40:
             from gpc_tpu.optim.checkgrad import check_gradients
             check_gradients(vag, self.theta)
         res = run_optimiser(optimiser, vag, self.theta, iters,
-                            param_tol=param_tol, obj_tol=obj_tol)
+                            param_tol=param_tol, obj_tol=obj_tol,
+                            ckpt_path=ckpt_path, ckpt_every=ckpt_every,
+                            resume=resume)
         self.theta = jnp.asarray(res.x)
         return res
 

@@ -136,28 +136,22 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     N, D, q = spec.n_data, spec.data_dim, spec.latent_dim
 
     # Large-N fast paths (the reference GP-LVM stops at ~1k points,
-    # README.md:412-414): GPC_TPU_EVIDENCE selects the evidence engine
-    # EXPLICITLY (never a shape-keyed fork — N=4096 and N=4100 run the same
-    # algorithm unless the user opted in):
-    #   dense (default) — jitchol escalation, the CPU/parity route;
-    #   lazy            — Gram tiles fused into the blocked factorization
-    #                     (ops/lazy_evidence), differentiable via autodiff;
-    #   fastgrad        — bf16 fused forward + analytic custom VJP
-    #                     (ops/evidence_grad), the TPU training fast path.
+    # README.md:412-414): GPC_TPU_EVIDENCE selects the evidence engine; an
+    # explicit flag always wins, and with the flag unset select_evidence_mode
+    # picks a backend-aware default (TPU + splitting N → lazy; CPU → dense —
+    # the dense N-wide solve crashes the TPU compile helper at N≳16k):
+    #   dense     — jitchol escalation, the CPU/parity route;
+    #   lazy      — Gram tiles fused into the blocked factorization
+    #               (ops/lazy_evidence), differentiable via autodiff;
+    #   fastgrad  — bf16 fused forward + analytic custom VJP
+    #               (ops/evidence_grad);
+    #   iterative — matrix-free CG + SLQ (ops/iterative.py), opt-in only.
     # On the lazy/fastgrad paths a transiently non-PD K yields a NaN
     # objective, which SCG rejects as a failed step (λ growth — optim/scg.py
     # NaN handling) instead of re-jittering (tests/test_evidence_grad.py
     # pins that rescue behavior).
-    from gpc_tpu.ops.evidence_grad import (evidence_base, evidence_mode,
-                                           evidence_splits)
-    mode = evidence_mode()
-    if mode != "dense" and not evidence_splits(N):
-        import warnings
-        warnings.warn(
-            f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
-            f"{evidence_base()} blocks (got N={N}); falling back to the "
-            f"dense evidence")
-        mode = "dense"
+    from gpc_tpu.ops.evidence_grad import select_evidence_mode
+    mode = select_evidence_mode(N)
     if mode == "fastgrad":
         from gpc_tpu.ops.evidence_grad import kern_evidence_grad
         logdet, quad = kern_evidence_grad(spec.kern, kp, X, m)
@@ -165,6 +159,12 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     elif mode == "lazy":
         from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
         logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m, force=True)
+        Lacc = quad + D * logdet
+    elif mode == "iterative":
+        # matrix-free CG+SLQ engine — trains the latent X through the
+        # custom VJP (ops/iterative.py), never materializing the N×N Gram
+        from gpc_tpu.ops.iterative import kern_evidence_iterative
+        logdet, quad = kern_evidence_iterative(spec.kern, kp, X, m)
         Lacc = quad + D * logdet
     else:
         K = spec.kern.gram(kp, X)
@@ -227,7 +227,8 @@ def posterior(spec: GplvmSpec, theta, y, noise_bias, fixed_scales, Xtest,
     L_K, _ = linalg.jitchol(K)
     kX = spec.kern.compute(kp, X, jnp.asarray(Xtest))
     v = linalg.tri_solve(L_K, kX)
-    var = spec.kern.diag(kp, jnp.asarray(Xtest)) - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(
+        spec.kern.diag(kp, jnp.asarray(Xtest)) - jnp.sum(v * v, axis=0), 0.0)
     mu = linalg.chol_solve(L_K, kX).T @ m
     return mu, jnp.tile(var[:, None], (1, spec.data_dim))
 
@@ -304,7 +305,11 @@ class GPLVM:
 
     def optimise(self, iters: int = 1000, param_tol: float = 1e-6,
                  obj_tol: float = 1e-6, optimiser: str = "scg",
-                 verbose: int = 0):
+                 verbose: int = 0, ckpt_path: str = None,
+                 ckpt_every: int = 50, resume: bool = False):
+        """ckpt_path enables mid-run preemption checkpoints every
+        `ckpt_every` SCG iterations; resume=True continues a killed run
+        from the file on the bit-identical trajectory (optim.run_optimiser)."""
         vag = jax.jit(jax.value_and_grad(self._objective))
         # auto gradient check, as in the reference optimise at high verbosity
         # (CGp.cpp:1544-1545 — only for small parameter vectors)
@@ -312,7 +317,9 @@ class GPLVM:
             from gpc_tpu.optim.checkgrad import check_gradients
             check_gradients(vag, self.theta)
         res = run_optimiser(optimiser, vag, self.theta, iters,
-                            param_tol=param_tol, obj_tol=obj_tol)
+                            param_tol=param_tol, obj_tol=obj_tol,
+                            ckpt_path=ckpt_path, ckpt_every=ckpt_every,
+                            resume=resume)
         self.theta = jnp.asarray(res.x)
         return res
 

@@ -248,7 +248,7 @@ def posterior(spec: IvmSpec, kern_params, X_active, m_site, beta_site, Xtest):
         Kb = K + jnp.diag(1.0 / beta_site[:, j])
         Lc, _ = linalg.jitchol(Kb)
         v = linalg.tri_solve(Lc, kX)
-        vs = kdiag - jnp.sum(v * v, axis=0)
+        vs = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 0.0)
         w = linalg.chol_solve(Lc, kX)
         if spec.noise.spherical:
             mu = w.T @ m_site                         # (T, D)

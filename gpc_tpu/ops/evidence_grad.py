@@ -182,17 +182,50 @@ def evidence_splits(n: int) -> bool:
 
 def evidence_mode(default: str = "dense") -> str:
     """Explicit evidence-path selection — GPC_TPU_EVIDENCE = dense | lazy |
-    fastgrad.  `dense` (default): jitchol escalation, the parity route.
-    `lazy`: f32-HIGH fused lazy factorization (differentiable via autodiff).
-    `fastgrad`: bf16 fused forward + this module's custom VJP.  An explicit
-    flag, never a shape-keyed fork: N=4096 and N=4100 take the same path
-    unless the user opted in (and an opted-in non-splitting N falls back to
-    dense with a visible warning)."""
+    fastgrad | iterative.  `dense` (default): jitchol escalation, the parity
+    route.  `lazy`: f32-HIGH fused lazy factorization (differentiable via
+    autodiff).  `fastgrad`: bf16 fused forward + this module's custom VJP.
+    `iterative`: matrix-free CG quad + SLQ logdet (ops/iterative.py) — never
+    materializes K, trains past dense-HBM N.  Callers should resolve the
+    engine through `select_evidence_mode(n)`, which handles the shape
+    fallback and the backend-aware default."""
     import os
     v = os.environ.get("GPC_TPU_EVIDENCE", default).lower()
-    if v not in ("dense", "lazy", "fastgrad"):
-        raise ValueError(f"GPC_TPU_EVIDENCE={v!r} (want dense|lazy|fastgrad)")
+    if v not in ("dense", "lazy", "fastgrad", "iterative"):
+        raise ValueError(
+            f"GPC_TPU_EVIDENCE={v!r} (want dense|lazy|fastgrad|iterative)")
     return v
+
+
+def select_evidence_mode(n: int) -> str:
+    """Resolve the evidence engine for problem size n (models/gp.py FTC and
+    models/gplvm.py call this).  An explicit GPC_TPU_EVIDENCE always wins —
+    with a visible warning + dense fallback when the fused engines' shape
+    requirement (n splits into `evidence_base()` blocks) is unmet.  When the
+    flag is UNSET the default is backend-aware: on a non-CPU backend a
+    splitting n defaults to `lazy` (the dense route's N-wide triangular solve
+    crashes the TPU compile helper at N≳16k, and lazy is the measured training
+    fast path — BASELINE.md round 3); everywhere else `dense` (the f64 parity
+    route).  `iterative` (matrix-free CG+SLQ, ops/iterative.py) has no split
+    requirement and is never auto-selected — its logdet is a stochastic
+    estimate, so it is opt-in only."""
+    import os
+    import warnings
+
+    explicit = os.environ.get("GPC_TPU_EVIDENCE")
+    mode = evidence_mode()
+    if mode in ("lazy", "fastgrad") and not evidence_splits(n):
+        if explicit:
+            warnings.warn(
+                f"GPC_TPU_EVIDENCE={mode} needs n_data to split into "
+                f"{evidence_base()} blocks (got N={n}); falling back to "
+                f"dense")
+        return "dense"
+    if explicit is None and mode == "dense":
+        import jax as _jax
+        if _jax.default_backend() != "cpu" and evidence_splits(n):
+            return "lazy"
+    return mode
 
 
 def kern_evidence_grad(kern, p, X, m, ridge: float = 0.0,

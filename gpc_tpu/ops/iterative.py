@@ -222,6 +222,109 @@ def pcg_solve(mvm, B, precond, max_iters: int = 256, tol: float = 1e-10):
     return CgResult(x=x, residual=jnp.sqrt(jnp.sum(r * r, axis=0)), iters=it)
 
 
+class IterConfig(NamedTuple):
+    """Hashable iterative-engine knobs (env-overridable, see `iter_config`)."""
+    block: int = 2048
+    probes: int = 16
+    lanczos_iters: int = 32
+    cg_iters: int = 256
+    precond_rank: int = 0
+    trace_probes: int = 16
+    seed: int = 0
+
+
+def iter_config() -> IterConfig:
+    """GPC_TPU_ITER_{BLOCK,PROBES,LANCZOS,CG,PRECOND,TPROBES,SEED} env knobs
+    for the `GPC_TPU_EVIDENCE=iterative` engine."""
+    import os
+    g = lambda k, d: int(os.environ.get(f"GPC_TPU_ITER_{k}", d))
+    return IterConfig(block=g("BLOCK", 2048), probes=g("PROBES", 16),
+                      lanczos_iters=g("LANCZOS", 32), cg_iters=g("CG", 256),
+                      precond_rank=g("PRECOND", 0),
+                      trace_probes=g("TPROBES", 16), seed=g("SEED", 0))
+
+
+@functools.lru_cache(maxsize=None)
+def _iter_evidence_fn(kern: Kern, cfg: IterConfig):
+    """custom_vjp'd (logdet, quad) = f(p, X, m) — the matrix-free analogue of
+    evidence_grad._evidence_vjp_fn, cached per (kernel, config) so the
+    custom_vjp identity is stable across jit retraces.
+
+    Differentiable in all three arguments (GP-LVM trains its latent X through
+    this), BBMM-style (PAPERS.md: Gardner et al. 2018): the backward never
+    unrolls the solver —
+
+      quad   = Σⱼ mⱼᵀαⱼ,  α = K⁻¹m by (preconditioned) CG   (exact to CG tol)
+      logdet = SLQ over `probes` Rademacher vectors          (unbiased, O(1/√P))
+      ∂quad/∂θ   = −Σⱼ αⱼᵀ(∂K/∂θ)αⱼ,            ∂quad/∂m = 2α
+      ∂logdet/∂θ = tr(K⁻¹ ∂K/∂θ) ≈ (1/T)Σᵢ wᵢᵀ(∂K/∂θ)zᵢ,  w = K⁻¹z solved
+                   alongside m in ONE multi-RHS CG (Hutchinson, unbiased),
+
+    each realized as jax.grad of a blockwise-rematerialized contraction, so
+    memory stays O(N·(block + D + T)) and K is never materialized.  Probe
+    vectors are FIXED by cfg.seed: the objective is deterministic given the
+    seed (SCG line searches stay consistent) and the θ-gradient is the exact
+    gradient of a fixed-probe estimator.  The reference dead-ends at dense
+    O(N²) memory (/root/reference/CGp.cpp:877-909, README.md:412-414)."""
+
+    def _solve(p, X, B):
+        mvm = lambda V: kernel_mvm(kern, p, X, V, block=cfg.block)
+        if cfg.precond_rank > 0:
+            Lk = pivoted_cholesky(kern, p, X, cfg.precond_rank)
+            pre = woodbury_preconditioner(Lk, kern.white(p) + 1e-8)
+            return pcg_solve(mvm, B, pre, max_iters=cfg.cg_iters).x
+        return cg_solve(mvm, B, max_iters=cfg.cg_iters).x
+
+    def _forward(p, X, m):
+        N, D = m.shape
+        key = jax.random.PRNGKey(cfg.seed)
+        k_tr, k_slq = jax.random.split(jax.random.fold_in(key, N))
+        Z = jax.random.rademacher(k_tr, (N, cfg.trace_probes), dtype=X.dtype)
+        sols = _solve(p, X, jnp.concatenate([m, Z], axis=1))
+        alpha, W = sols[:, :D], sols[:, D:]
+        quad = jnp.sum(m * alpha)
+        mvm = lambda V: kernel_mvm(kern, p, X, V, block=cfg.block)
+        logdet = slq_logdet(mvm, N, k_slq, probes=cfg.probes,
+                            lanczos_iters=cfg.lanczos_iters, dtype=X.dtype)
+        return (logdet, quad), (p, X, alpha, W, Z)
+
+    @jax.custom_vjp
+    def evidence(p, X, m):
+        (logdet, quad), _ = _forward(p, X, m)
+        return logdet, quad
+
+    def evidence_bwd(res, cots):
+        p, X, alpha, W, Z = res
+        g_ld, g_quad = cots
+        alpha = lax.stop_gradient(alpha)
+        W = lax.stop_gradient(W)
+
+        def contracted(p_, X_):
+            s_q = jnp.sum(alpha * kernel_mvm(kern, p_, X_, alpha,
+                                             block=cfg.block))
+            s_tr = jnp.sum(W * kernel_mvm(kern, p_, X_, Z, block=cfg.block))
+            return g_ld * s_tr / cfg.trace_probes - g_quad * s_q
+
+        pbar, Xbar = jax.grad(contracted, argnums=(0, 1))(p, X)
+        return pbar, Xbar, 2.0 * g_quad * alpha
+
+    evidence.defvjp(_forward, evidence_bwd)
+    return evidence
+
+
+def kern_evidence_iterative(kern: Kern, p, X, m, cfg: IterConfig | None = None):
+    """(logdet, quad) for K = kern(X) — matrix-free, differentiable, O(N·block)
+    memory.  The `GPC_TPU_EVIDENCE=iterative` engine for models/gp.py (FTC)
+    and models/gplvm.py; no shape-split requirement (kernel_mvm pads row
+    blocks internally).  logdet is an SLQ estimate — training-grade, not
+    MATCHTOL parity (tests/test_iterative.py pins the small-N tolerance vs
+    the dense engine)."""
+    if cfg is None:
+        cfg = iter_config()
+    X = jnp.asarray(X)
+    return _iter_evidence_fn(kern, cfg)(p, X, jnp.asarray(m))
+
+
 def make_iterative_nlml(kern: Kern, X, m, key, *, block: int = 2048,
                         probes: int = 16, lanczos_iters: int = 32,
                         cg_iters: int = 256, precond_rank: int = 0,

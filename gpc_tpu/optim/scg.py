@@ -78,16 +78,11 @@ def scg(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
                     int(max_iters), float(param_tol))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("value_and_grad_fn", "max_iters",
-                                    "param_tol"))
-def _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol) -> ScgResult:
-    n_params = x0.shape[0]
+def _scg_init(value_and_grad_fn, x0, args) -> _State:
     dt = x0.dtype
-
     obj0, g0 = value_and_grad_fn(x0, *args)
     r0 = -g0
-    init = _State(
+    return _State(
         w=x0, r=r0, p=r0, s=jnp.zeros_like(x0),
         delta=jnp.ones((), dt), old_obj=obj0,
         lam=jnp.ones((), dt), lam_bar=jnp.zeros((), dt),
@@ -95,8 +90,10 @@ def _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol) -> ScgResult:
         converged=jnp.array(False),
     )
 
-    def cond(st: _State):
-        return jnp.logical_and(st.iter < max_iters, ~st.converged)
+
+def _make_body(value_and_grad_fn, args, n_params, param_tol, dt):
+    """The SCG iteration body, shared by the monolithic run and the
+    checkpoint-segmented run so both execute the IDENTICAL trajectory."""
 
     def body(st: _State):
         it = st.iter + 1  # 1-based like the reference
@@ -166,9 +163,70 @@ def _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol) -> ScgResult:
                       lam=lam_n, lam_bar=lam_bar_n, success=success_n,
                       iter=it, converged=converged)
 
+    return body
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("value_and_grad_fn", "max_iters",
+                                    "param_tol"))
+def _scg_run(value_and_grad_fn, x0, args, max_iters, param_tol) -> ScgResult:
+    init = _scg_init(value_and_grad_fn, x0, args)
+    body = _make_body(value_and_grad_fn, args, x0.shape[0], param_tol,
+                      x0.dtype)
+
+    def cond(st: _State):
+        return jnp.logical_and(st.iter < max_iters, ~st.converged)
+
     final = lax.while_loop(cond, body, init)
     return ScgResult(x=final.w, obj=final.old_obj, iters=final.iter,
                      converged=final.converged)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("value_and_grad_fn", "param_tol"))
+def _scg_segment(value_and_grad_fn, state: _State, args, iter_end,
+                 param_tol) -> _State:
+    """Advance SCG from `state` until iter == iter_end (traced, so every
+    segment length reuses ONE compiled program) or convergence."""
+    body = _make_body(value_and_grad_fn, args, state.w.shape[0], param_tol,
+                      state.w.dtype)
+
+    def cond(st: _State):
+        return jnp.logical_and(st.iter < iter_end, ~st.converged)
+
+    return lax.while_loop(cond, body, state)
+
+
+def scg_checkpointed(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
+                     param_tol: float = 1e-6, obj_tol: float = 1e-6,
+                     args=(), ckpt_every: int = 50, on_checkpoint=None,
+                     resume_state=None) -> ScgResult:
+    """scg() with preemption protection: the SAME init and iteration body,
+    executed in `ckpt_every`-iteration jitted segments with the FULL
+    optimizer state surfaced to `on_checkpoint(step, state_dict)` between
+    segments — so a killed run resumes (pass the saved dict back as
+    `resume_state`) on the bit-identical trajectory.  This is the SURVEY §5
+    mid-run checkpoint piece the reference lacks (its only warm start is the
+    coarse model-file `relearn`, /root/reference/gp.cpp:439-534).
+
+    state_dict maps the _State fields to arrays (w/r/p/s/delta/old_obj/lam/
+    lam_bar/success/iter/converged) — numpy-serializable as-is
+    (utils/checkpoint.save handles it)."""
+    args = tuple(jnp.asarray(a) for a in args)
+    if resume_state is None:
+        state = _scg_init(value_and_grad_fn, jnp.asarray(x0), args)
+    else:
+        state = _State(**{k: jnp.asarray(v) for k, v in
+                          dict(resume_state).items()})
+    it_dt = state.iter.dtype
+    while int(state.iter) < max_iters and not bool(state.converged):
+        iter_end = min(int(state.iter) + int(ckpt_every), max_iters)
+        state = _scg_segment(value_and_grad_fn, state, args,
+                             jnp.asarray(iter_end, dtype=it_dt), param_tol)
+        if on_checkpoint is not None:
+            on_checkpoint(int(state.iter), state._asdict())
+    return ScgResult(x=state.w, obj=state.old_obj, iters=state.iter,
+                     converged=state.converged)
 
 
 def scg_minimize(fn: Callable, x0, max_iters: int = 1000,

@@ -92,6 +92,90 @@ def test_server_sharded_batches():
                                atol=1e-12)
 
 
+def test_server_bucket_padding_bounds_compiles():
+    """A stream of varied small request sizes is padded to power-of-two
+    buckets: the compiled-program set stays bounded (one program per bucket,
+    not per distinct T) and every answer still matches GP.predict."""
+    model, rng = _model("ftc")
+    srv = GPServer(model, chunk=64)
+    sizes = [1, 2, 3, 3, 4, 5, 6, 7, 7, 8, 9, 13, 15]
+    for t in sizes:
+        Xt = rng.standard_normal((t, 2))
+        want_mu, want_var = model.predict(Xt)
+        mu, var = srv.predict(Xt)
+        np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                                   atol=1e-12)
+    # buckets hit: 1, 2, 4, 8, 16 — five compiled shapes for 13 requests
+    assert srv._apply._cache_size() <= 5, srv._apply._cache_size()
+
+
+def _ivm_model(N=120, seed=2, num_active=16):
+    from gpc_tpu.models.ivm import IVM
+    from gpc_tpu.noise import ProbitNoise as Probit
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((N, 2))
+    y = np.where(X[:, :1] + 0.3 * rng.standard_normal((N, 1)) > 0, 1.0, -1.0)
+    kern = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2), K.White(input_dim=2)))
+    model = IVM(kern, Probit(output_dim=1), X, y, num_active=num_active, seed=3)
+    model.optimise(ext_iters=1, kern_iters=20, noise_iters=20)
+    return model, rng
+
+
+def test_ivm_server_matches_predict():
+    from gpc_tpu.serving import IvmServer
+
+    model, rng = _ivm_model()
+    srv = IvmServer(model, chunk=16)
+    for t in (5, 16, 37):
+        Xt = rng.standard_normal((t, 2))
+        want_mu, want_vs = model.predict(Xt)
+        mu, vs = srv.predict(Xt)
+        np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(vs, np.asarray(want_vs), rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(srv.out(Xt), np.asarray(model.out(Xt)),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_ivm_server_refresh_tracks_relearn():
+    """Serve-while-training: after more optimise() rounds, refresh() re-factors
+    in place and the served predictions match the updated model."""
+    from gpc_tpu.serving import IvmServer
+
+    model, rng = _ivm_model()
+    srv = IvmServer(model, chunk=16)
+    Xt = rng.standard_normal((23, 2))
+    stale_mu, _ = srv.predict(Xt)
+
+    model.optimise(ext_iters=2, kern_iters=20, noise_iters=20)
+    srv.refresh(model)
+    mu, vs = srv.predict(Xt)
+    want_mu, want_vs = model.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(vs, np.asarray(want_vs), rtol=1e-10, atol=1e-12)
+    assert np.abs(mu - stale_mu).max() > 1e-8  # training actually moved it
+
+
+def test_gp_server_refresh_tracks_relearn():
+    model, rng = _model("ftc")
+    from gpc_tpu.serving import GPServer
+
+    srv = GPServer(model, chunk=16)
+    Xt = rng.standard_normal((21, 2))
+    model.optimise(iters=15)
+    srv.refresh(model)
+    mu, var = srv.predict(Xt)
+    want_mu, want_var = model.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                               atol=1e-12)
+
+
 def test_server_small_request_single_chunk():
     model, rng = _model("ftc")
     srv = GPServer(model, chunk=64)
