@@ -211,8 +211,22 @@ def main():
 
     # ---- secondary tracked metrics (regression surface, VERDICT r2 #6) ----
     # vs_baseline anchors are the round-3 healthy-session measurements
-    # (BASELINE.md round-3 extras table); ratios >= 1.0 mean at-or-better
-    # than that anchor.  Failures never break the headline metric.
+    # (BASELINE.md round-3 extras table), SESSION-NORMALIZED (VERDICT r3 #5):
+    # the shared TPU pool varies ~20× run-to-run, so raw ms ratios are pool
+    # noise, not regressions.  Each ratio is scaled by (anchor-session
+    # roofline / this-session roofline) — the same-chip-speed comparison the
+    # headline metric already makes.  The JSON carries both the normalized
+    # vs_baseline (the regression gate) and vs_baseline_raw.
+    ANCHOR_ROOF = 166000.0  # GFLOP/s bf16 — the round-3 extras session
+                            # measured roofline 163-170 TF/s (BASELINE.md)
+
+    def _emit_extra(metric, value, unit, raw_ratio):
+        print(json.dumps({
+            "metric": metric, "value": value, "unit": unit,
+            "vs_baseline": round(raw_ratio * ANCHOR_ROOF / roofline_gflops, 4),
+            "vs_baseline_raw": round(raw_ratio, 4),
+            "session_roofline_gflops": round(roofline_gflops, 0)}))
+
     def extra_metrics():
         import gc
         from gpc_tpu import kernels as GK
@@ -246,9 +260,8 @@ def main():
             t0 = time.perf_counter()
             sync(dchain(th))
             t = max(time.perf_counter() - t0 - rtt, 1e-9) / repsd
-            print(json.dumps({
-                "metric": "dtc16k_m1024_step_ms", "value": round(t * 1e3, 2),
-                "unit": "ms", "vs_baseline": round(6.7 / (t * 1e3), 4)}))
+            _emit_extra("dtc16k_m1024_step_ms", round(t * 1e3, 2), "ms",
+                        6.7 / (t * 1e3))
         except Exception as e:
             print(f"# dtc16k extra failed: {type(e).__name__}",
                   file=sys.stderr)
@@ -297,9 +310,8 @@ def main():
             t0 = time.perf_counter()
             sync(gchain(thg))
             t = max(time.perf_counter() - t0 - rtt, 1e-9) / repsg
-            print(json.dumps({
-                "metric": "gplvm16k_step_ms", "value": round(t * 1e3, 1),
-                "unit": "ms", "vs_baseline": round(141.0 / (t * 1e3), 4)}))
+            _emit_extra("gplvm16k_step_ms", round(t * 1e3, 1), "ms",
+                        141.0 / (t * 1e3))
         except Exception as e:
             print(f"# gplvm16k extra failed: {type(e).__name__}",
                   file=sys.stderr)
@@ -338,9 +350,8 @@ def main():
             sync(sel(kpi))
             t = max(time.perf_counter() - t0 - rtt, 1e-9)
             pps = di / t
-            print(json.dumps({
-                "metric": "ivm_select_points_per_s", "value": round(pps, 0),
-                "unit": "points/s", "vs_baseline": round(pps / 28676.0, 4)}))
+            _emit_extra("ivm_select_points_per_s", round(pps, 0), "points/s",
+                        pps / 28676.0)
         except Exception as e:
             print(f"# ivm extra failed: {type(e).__name__}", file=sys.stderr)
         gc.collect()

@@ -1,0 +1,392 @@
+"""Whole-evidence Pallas kernel, v3 "panel" schedule: XLA-flat op structure
+in ONE kernel.
+
+Round-3 attribution (BASELINE.md): the XLA flat schedule runs the
+correction+panel dots at the compute-bound floor (9.1 ms at N=16k) but pays
+4.7 ms for the SERIAL leaf chain and 2.7 ms misc; the v2 Pallas mega kernel
+(ops/chol_mega.py) hides the leaves (FAKELEAF ≡ normal, measured) but loses
+~8 ms to per-block-row op overhead — its Schur work is 496 row iterations of
+~10 small Mosaic ops each.  This kernel keeps BOTH wins: per column j the
+Schur correction is a handful of LARGE chunked GEMMs against a flat
+row-major L buffer in HBM — (RC×KC)·(b×KC)ᵀ chunks, double-buffered DMA —
+so the whole factorization is a few hundred MXU-saturating ops, while the
+diagonal leaves and the forward solve stay in-VMEM.
+
+Compile-time discipline (measured: 64 UNROLLED big dots cost 370 s of
+Mosaic compile; the same dots in a fori_loop compile in seconds): the
+column loop itself is ONE lax.fori_loop over j.  Chunk-tail sizes are the
+only per-column statics; with RC = KC = 4b and nb ≡ 0 (mod 4) they depend
+on j only through j mod 4, so the fori body is a lax.switch over FOUR
+static tail variants.  Within a variant everything is traced-offset /
+static-size: full-chunk counts (kfull = j//4, rfull) are traced fori trip
+counts; the (rows × k) correction space splits into exact quadrants —
+
+  A: full RC × full KC — flattened fori, slab slots {0,1}, prefetch inside
+  B: full RC × k-tail  — fori over rows, slots {2,3}
+  C: r-tail × full KC  — fori over k, slots {0,1} (A drained; head primed
+                         right after A so it overlaps B)
+  D: r-tail × k-tail   — one dot, slot 2 (primed after B)
+
+— zero wasted FLOPs, zero unrolled big-op chains.
+
+Layout: L is ONE (N, N) bf16 row-major HBM buffer (pallas out, ANY memory).
+Column j reads slabs L[r0:r0+rows, k0:k0+kw] (2-D strided DMA, ≥1 KB rows)
+and the j-row L[jb:(j+1)b, 0:jb]; it writes only the subdiagonal panel
+L[(j+1)b:, jb:(j+1)b].  Corrections contract the k axis directly
+(slab · j-rowᵀ), so no transposed storage and no reshape games (the v2
+Mosaic-fragility source).
+
+Per column j:
+
+  wait previous column's panel writeback; DMA j-row → vrow
+  acc[r] = var·exp(−d2(r, j))                  (panel Gram fill, chunked)
+  acc[r] −= slab·vrowᵀ                         (quadrant dots, bf16/f32)
+  A_d = acc[diag] + noise·I;  (L_jj, L_jj⁻¹) = in-VMEM blocked leaf
+  logdet += 2Σ log diag;  v_j = L_jj⁻¹·v[jb:(j+1)b]
+  per solve chunk: Lp = acc·L_jj⁻ᵀ;  v −= Lp·v_j;  stage → writeback DMA
+
+Replaces (TPU-first) the dpotrf/dtrsv hot block of CGp::logLikelihood
+(/root/reference/CGp.cpp:920-937, CMatrix.cpp:371-412).  Forward-only: the
+parity/training paths are ops/lazy_evidence.py + jax.grad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+from gpc_tpu.ops.chol_mega import _factor_diag, _gemm32
+
+CB = 4  # chunk size in b-blocks: RC = KC = CB·b; nb must divide by CB
+
+
+def _dot_kk(a, b):
+    """a · bᵀ (contract the shared k axis, dim 1) — bf16 in, f32 accum."""
+    return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.DEFAULT)
+
+
+def _panel_kernel(b, nb, q, D, mode,
+                  xs_ref, n2_ref, n2row_ref, m_ref, var_ref, noise_ref,
+                  T_ref, ld_ref, quad_ref,
+                  acc, slab, vrow, stage, vbuf, ldacc, rsem, vsem, wsem):
+    N = nb * b
+    RC = KC = CB * b
+    var = var_ref[0, 0]
+    noise = noise_ref[0, 0]
+    dma = mode != "nodma"
+
+    def initv(i, _):
+        vbuf[pl.ds(i * b, b), :] = m_ref[pl.ds(i * b, b), :]
+        return 0
+    lax.fori_loop(0, nb, initv, 0)
+    ldacc[:, :] = jnp.zeros((1, 1), jnp.float32)
+
+    def rd(slot, r0, rows, k0, kw):
+        return pltpu.make_async_copy(
+            T_ref.at[pl.ds(r0, rows), pl.ds(k0, kw)],
+            slab.at[slot, pl.ds(0, rows), pl.ds(0, kw)],
+            rsem.at[slot])
+
+    def make_variant(c):
+        """Column body for j ≡ c (mod CB): tail sizes are static here."""
+        ktail = c * b                         # = jb mod KC
+        rtail = ((-c) % CB) * b               # = (N - jb) mod RC
+        stail = ((CB - 1 - c) % CB) * b       # = (N - jb - b) mod RC
+
+        def col(j, _):
+            jb = j * b
+            nrem = N - jb
+            kfull = j // CB
+            rfull = (nb - j) // CB
+            nA = rfull * kfull
+            rt0 = jb + rfull * RC             # r-tail start row (traced)
+
+            # -- j-row ancestors + prime A/B heads --------------------------
+            # DMA sizes must be STATIC: the (b, jb) j-row copy goes as kfull
+            # KC-wide chunks (traced offsets) + the static k-tail, all
+            # started up front on one semaphore and waited in order below
+            def vrow_cp(t):
+                return pltpu.make_async_copy(
+                    T_ref.at[pl.ds(jb, b), pl.ds(t * KC, KC)],
+                    vrow.at[:, pl.ds(t * KC, KC)], vsem)
+
+            def vrow_tail_cp():
+                return pltpu.make_async_copy(
+                    T_ref.at[pl.ds(jb, b), pl.ds(kfull * KC, ktail)],
+                    vrow.at[:, pl.ds(kfull * KC, ktail)], vsem)
+
+            def vstart(t, _):
+                vrow_cp(t).start()
+                return 0
+            lax.fori_loop(0, kfull, vstart, 0)
+            if ktail > 0:
+                vrow_tail_cp().start()
+            if dma:
+                @pl.when(nA > 0)
+                def _():
+                    rd(0, jb, RC, 0, KC).start()
+                if ktail > 0:
+                    @pl.when(rfull > 0)
+                    def _():
+                        rd(2, jb, RC, kfull * KC, ktail).start()
+
+            # -- panel Gram fill --------------------------------------------
+            def gram_chunk(r0, rows):
+                Xi = xs_ref[pl.ds(r0, rows), :]
+                Xj = xs_ref[pl.ds(jb, b), :]
+                G = lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)
+                d2 = jnp.maximum(n2_ref[pl.ds(r0, rows), :] +
+                                 n2row_ref[:, pl.ds(jb, b)] - 2.0 * G, 0.0)
+                g = var * d2 if mode == "nogram" else var * jnp.exp(-d2)
+                acc[pl.ds(r0 - jb, rows), :] = g
+
+            def gram_body(t, _):
+                gram_chunk(jb + t * RC, RC)
+                return 0
+            lax.fori_loop(0, rfull, gram_body, 0)
+            if rtail > 0:
+                gram_chunk(rt0, rtail)
+
+            def vwait(t, _):
+                vrow_cp(t).wait()
+                return 0
+            lax.fori_loop(0, kfull, vwait, 0)
+            if ktail > 0:
+                vrow_tail_cp().wait()
+
+            def sub_chunk(slot, r0, rows, k0, kw):
+                if mode == "nodot":
+                    return
+                acc[pl.ds(r0 - jb, rows), :] = (
+                    acc[pl.ds(r0 - jb, rows), :]
+                    - _dot_kk(slab[slot, pl.ds(0, rows), pl.ds(0, kw)],
+                              vrow[:, pl.ds(k0, kw)]))
+
+            # -- quadrant A --------------------------------------------------
+            def A_body(idx, _):
+                r0 = jb + (idx // kfull) * RC
+                k0 = (idx % kfull) * KC
+                slot = lax.rem(idx, 2)
+                if dma:
+                    @pl.when(idx + 1 < nA)
+                    def _():
+                        nidx = idx + 1
+                        rd(lax.rem(nidx, 2), jb + (nidx // kfull) * RC, RC,
+                           (nidx % kfull) * KC, KC).start()
+                    rd(slot, r0, RC, k0, KC).wait()
+                sub_chunk(slot, r0, RC, k0, KC)
+                return 0
+            lax.fori_loop(0, nA, A_body, 0)
+
+            # prime C's head (slots 0/1 drained): overlaps quadrant B
+            if dma and rtail > 0:
+                @pl.when(kfull > 0)
+                def _():
+                    rd(0, rt0, rtail, 0, KC).start()
+
+            # -- quadrant B --------------------------------------------------
+            if ktail > 0:
+                def B_body(t, _):
+                    r0 = jb + t * RC
+                    slot = 2 + lax.rem(t, 2)
+                    if dma:
+                        @pl.when(t + 1 < rfull)
+                        def _():
+                            rd(2 + lax.rem(t + 1, 2), jb + (t + 1) * RC, RC,
+                               kfull * KC, ktail).start()
+                        rd(slot, r0, RC, kfull * KC, ktail).wait()
+                    sub_chunk(slot, r0, RC, kfull * KC, ktail)
+                    return 0
+                lax.fori_loop(0, rfull, B_body, 0)
+
+            # prime D (slot 2 free: B fully drained, or never ran)
+            if dma and rtail > 0 and ktail > 0:
+                rd(2, rt0, rtail, kfull * KC, ktail).start()
+
+            # -- quadrant C --------------------------------------------------
+            if rtail > 0:
+                def C_body(t, _):
+                    slot = lax.rem(t, 2)
+                    if dma:
+                        @pl.when(t + 1 < kfull)
+                        def _():
+                            rd(lax.rem(t + 1, 2), rt0, rtail,
+                               (t + 1) * KC, KC).start()
+                        rd(slot, rt0, rtail, t * KC, KC).wait()
+                    sub_chunk(slot, rt0, rtail, t * KC, KC)
+                    return 0
+                lax.fori_loop(0, kfull, C_body, 0)
+
+            # -- quadrant D --------------------------------------------------
+            if rtail > 0 and ktail > 0:
+                if dma:
+                    rd(2, rt0, rtail, kfull * KC, ktail).wait()
+                sub_chunk(2, rt0, rtail, kfull * KC, ktail)
+
+            # -- diagonal leaf ----------------------------------------------
+            A = acc[pl.ds(0, b), :] + jnp.where(
+                lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
+                lax.broadcasted_iota(jnp.int32, (1, b), 1), noise, 0.0)
+            if mode == "fakeleaf":
+                eye = (lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
+                       lax.broadcasted_iota(jnp.int32, (1, b), 1)).astype(
+                           jnp.float32)
+                dcol = jnp.max(jnp.abs(A), axis=1, keepdims=True) + 1.0
+                Ld = eye * dcol
+                Md = eye * lax.reciprocal(dcol)
+            else:
+                Ld, Md = _factor_diag(A, b)
+            ldacc[:, :] = (ldacc[:, :]
+                           + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld))))
+            vj = _gemm32(Md, vbuf[pl.ds(jb, b), :])
+            vbuf[pl.ds(jb, b), :] = vj
+            Md_bf = Md.astype(jnp.bfloat16)
+
+            # -- panel solve + writeback + forward-solve --------------------
+            sfull = (nrem - b - stail) // RC   # exact: divisible by RC
+            last = j + 1 >= nb
+
+            def S_body(t, _):
+                r0 = jb + b + t * RC
+                slot = lax.rem(t, 2)
+                Lp = lax.dot_general(
+                    acc[pl.ds(b + t * RC, RC), :].astype(jnp.bfloat16),
+                    Md_bf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT)
+                vbuf[pl.ds(r0, RC), :] = (
+                    vbuf[pl.ds(r0, RC), :] - _gemm32(Lp, vj))
+
+                @pl.when(jnp.logical_not(last))
+                def _():
+                    @pl.when(t >= 2)
+                    def _():
+                        pltpu.make_async_copy(
+                            stage.at[slot, pl.ds(0, RC), :],
+                            T_ref.at[pl.ds(r0 - 2 * RC, RC), pl.ds(jb, b)],
+                            wsem.at[slot]).wait()
+                    stage[slot, pl.ds(0, RC), :] = Lp.astype(jnp.bfloat16)
+                    pltpu.make_async_copy(
+                        stage.at[slot, pl.ds(0, RC), :],
+                        T_ref.at[pl.ds(r0, RC), pl.ds(jb, b)],
+                        wsem.at[slot]).start()
+                return 0
+            lax.fori_loop(0, sfull, S_body, 0)
+
+            # drain the last ≤2 outstanding full-chunk writes
+            def drain(t):
+                @pl.when(jnp.logical_and(jnp.logical_not(last), t >= 0))
+                def _():
+                    pltpu.make_async_copy(
+                        stage.at[lax.rem(t, 2), pl.ds(0, RC), :],
+                        T_ref.at[pl.ds(jb + b + t * RC, RC), pl.ds(jb, b)],
+                        wsem.at[lax.rem(t, 2)]).wait()
+            drain(sfull - 2)
+            drain(sfull - 1)
+
+            if stail > 0:
+                st0 = jb + b + sfull * RC
+                Lp = lax.dot_general(
+                    acc[pl.ds(b + sfull * RC, stail), :].astype(jnp.bfloat16),
+                    Md_bf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT)
+                vbuf[pl.ds(st0, stail), :] = (
+                    vbuf[pl.ds(st0, stail), :] - _gemm32(Lp, vj))
+
+                @pl.when(jnp.logical_not(last))
+                def _():
+                    stage[0, pl.ds(0, stail), :] = Lp.astype(jnp.bfloat16)
+                    cp = pltpu.make_async_copy(
+                        stage.at[0, pl.ds(0, stail), :],
+                        T_ref.at[pl.ds(st0, stail), pl.ds(jb, b)],
+                        wsem.at[0])
+                    cp.start()
+                    cp.wait()
+            return 0
+        return col
+
+    variants = [make_variant(c) for c in range(CB)]
+
+    def column(j, _):
+        return lax.switch(lax.rem(j, CB), variants, j, 0)
+    lax.fori_loop(0, nb, column, 0)
+
+    ld_ref[:] = ldacc[:, :]
+    v = vbuf[:]
+    quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "interpret", "mode"))
+def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
+                       interpret: bool = False, mode: str = "full"):
+    """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for K = rbf-Gram(X) + noise·I — one kernel,
+    v3 panel schedule.  N must be a multiple of CB·b (= 4b).  bf16-input/
+    f32-accum Schur+panel GEMMs (the bench policy); leaves f32.
+    Slice-timing modes: fakeleaf | nodot | nodma | nogram."""
+    N, q = X.shape
+    D = m.shape[1]
+    nb = N // b
+    assert N % b == 0 and nb % CB == 0 and nb >= CB
+    RC = KC = CB * b
+    Xs = (X * jnp.sqrt(0.5 * inv_width)).astype(jnp.float32)
+    n2 = jnp.sum(Xs * Xs, axis=1, keepdims=True)
+    n2row = jnp.reshape(n2, (1, N))
+    var2d = jnp.reshape(variance.astype(jnp.float32), (1, 1))
+    noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
+    assert mode in ("full", "fakeleaf", "nodot", "nodma", "nogram")
+
+    kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
+    T, ld, quad = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, N), jnp.bfloat16),   # L (lower panels)
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Xs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # n2 (column)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # n2 (row)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # m
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # var
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # noise
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, b), jnp.float32),          # acc (panel)
+            pltpu.VMEM((4, RC, KC), jnp.bfloat16),    # slab slots
+            pltpu.VMEM((b, N), jnp.bfloat16),         # vrow (j-row ancestors)
+            pltpu.VMEM((2, RC, b), jnp.bfloat16),     # panel write staging
+            pltpu.VMEM((N, D), jnp.float32),          # vbuf
+            pltpu.VMEM((1, 1), jnp.float32),          # logdet accumulator
+            pltpu.SemaphoreType.DMA((4,)),            # slab read sems
+            pltpu.SemaphoreType.DMA(()),              # vrow sem
+            pltpu.SemaphoreType.DMA((2,)),            # write sems
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(Xs, n2, n2row, m.astype(jnp.float32), var2d, noise2d)
+    del T
+    return ld[0, 0], quad[0, 0]

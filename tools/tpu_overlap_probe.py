@@ -1,0 +1,256 @@
+"""TPU probe: can in-kernel VPU leaf work hide under MXU Schur dots?
+
+The 0.8×roofline target needs the 32 diagonal leaf factorizations (~200 µs
+each as standalone Pallas ops) to cost ≈ nothing inside the panel kernel.
+BASELINE.md's "TPU is single-stream, leaf latency can't hide" claim was
+proven only for XLA op sequences (VERDICT r3 Weak #2); this measures it
+INSIDE one Pallas kernel, where the scalar core issues to the MXU and VPU
+from one stream but the units pipeline independently:
+
+  dots      — K big bf16 Schur-shaped dots, VMEM-resident operands
+  leaves    — M in-VMEM blocked chol+inverse leaves (ops/chol_mega's)
+  inter     — dots and leaves INTERLEAVED (leaf after every K/M-th dot)
+  seq       — all dots then all leaves (sequential sections)
+
+If t(inter) ≈ max(t(dots), t(leaves)) the units overlap and the panel
+kernel's leaf chain is free; if t(inter) ≈ t(dots)+t(leaves) the leaf chain
+is real latency and the budget must carry it.  Also measures per-dot rate
+in-kernel (op overhead) and the slab DMA stream rate.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpc_tpu.ops.chol_mega import _factor_diag
+
+RC, KC, B = 2048, 2048, 512
+
+
+def _dot_kk(a, b):
+    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.DEFAULT)
+
+
+def make_probe(n_dots: int, n_leaves: int, interleave: bool):
+    """One kernel: n_dots Schur dots (RC,KC)x(B,KC) + n_leaves leaf factors,
+    either interleaved or sequential.  All operands VMEM-resident."""
+
+    def kernel(slab_ref, vrow_ref, aleaf_ref, out_ref, ldout_ref, acc, ld):
+        # fori-loop everything: Mosaic compile time explodes on UNROLLED
+        # chains of large ops (64 unrolled dots = 370 s to compile)
+        ld[:] = jnp.zeros((1, 1), jnp.float32)
+
+        def one_dot(i):
+            acc[:, :] = acc[:, :] - _dot_kk(slab_ref[lax.rem(i, 2)],
+                                            vrow_ref[:, :])
+
+        def one_leaf(i):
+            # feed each leaf slightly different input so nothing is CSE'd
+            A = aleaf_ref[:, :] + (jnp.float32(1e-3) * i.astype(jnp.float32)
+                                   if hasattr(i, "astype") else
+                                   jnp.float32(1e-3 * i)) * jnp.eye(
+                B, dtype=jnp.float32)
+            Ld, Md = _factor_diag(A, B)
+            ld[:, :] = (ld[:, :]
+                        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
+                        + Md[0, 0] * 1e-30)
+
+        if interleave and n_leaves > 0:
+            per = max(n_dots // max(n_leaves, 1), 1)
+
+            def body(i, _):
+                one_dot(i)
+
+                @pl.when(jnp.logical_and(lax.rem(i, per) == per - 1,
+                                         i // per < n_leaves))
+                def _():
+                    one_leaf(i // per)
+                return 0
+            lax.fori_loop(0, n_dots, body, 0)
+        else:
+            def dbody(i, _):
+                one_dot(i)
+                return 0
+            if n_dots:
+                lax.fori_loop(0, n_dots, dbody, 0)
+
+            def lbody(i, _):
+                one_leaf(i)
+                return 0
+            if n_leaves:
+                lax.fori_loop(0, n_leaves, lbody, 0)
+        ldout_ref[:] = ld[:, :]
+        out_ref[:] = acc[pl.ds(0, 8), pl.ds(0, 128)] + ld[0, 0]
+
+    @jax.jit
+    def run(slab, vrow, aleaf):
+        out, _ = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            scratch_shapes=[pltpu.VMEM((RC, B), jnp.float32),
+                            pltpu.VMEM((1, 1), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+        )(slab, vrow, aleaf)
+        return out
+
+    return run
+
+
+def make_dma_probe(n_chunks: int, with_dots: bool):
+    """Stream n_chunks (RC,KC) bf16 slabs HBM→VMEM double-buffered, with or
+    without a dot per chunk — the panel kernel's A-quadrant skeleton."""
+
+    def kernel(hbm_ref, vrow_ref, out_ref, acc, slab, sems):
+        pltpu.make_async_copy(hbm_ref.at[0], slab.at[0], sems.at[0]).start()
+
+        def body(i, _):
+            slot = lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                pltpu.make_async_copy(hbm_ref.at[lax.rem(i + 1, n_chunks)],
+                                      slab.at[lax.rem(i + 1, 2)],
+                                      sems.at[lax.rem(i + 1, 2)]).start()
+            pltpu.make_async_copy(hbm_ref.at[lax.rem(i, n_chunks)],
+                                  slab.at[slot], sems.at[slot]).wait()
+            if with_dots:
+                acc[:, :] = acc[:, :] - _dot_kk(slab[slot], vrow_ref[:, :])
+            else:
+                acc[pl.ds(0, 8), pl.ds(0, 128)] = (
+                    acc[pl.ds(0, 8), pl.ds(0, 128)]
+                    + slab[slot, pl.ds(0, 8), pl.ds(0, 128)].astype(
+                        jnp.float32))
+            return 0
+
+        lax.fori_loop(0, n_chunks, body, 0)
+        out_ref[:] = acc[pl.ds(0, 8), pl.ds(0, 128)]
+
+    @jax.jit
+    def run(hbm, vrow):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((RC, B), jnp.float32),
+                            pltpu.VMEM((2, RC, KC), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+        )(hbm, vrow)
+
+    return run
+
+
+def main():
+    def sync(x):
+        return float(jnp.ravel(x)[0])
+
+    @jax.jit
+    def _t(a):
+        return a + 1.0
+    one = jnp.ones((1,), jnp.float32)
+    sync(_t(one))
+    rtt = min((lambda t0: (sync(_t(one)), time.perf_counter() - t0)[1])(
+        time.perf_counter()) for _ in range(8))
+    print(f"rtt={rtt*1e3:.1f} ms", flush=True)
+
+    # roofline
+    Bm = 8192
+    rng = np.random.default_rng(0)
+    A1 = jnp.asarray(rng.standard_normal((Bm, Bm)), jnp.bfloat16)
+    A2 = jnp.asarray(rng.standard_normal((Bm, Bm)), jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(a, b):
+        def body(_, acc):
+            prod = lax.dot_general(acc, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+            return (prod / (1.0 + jnp.abs(prod[0, 0]))).astype(a.dtype)
+        return lax.fori_loop(0, 16, body, a)
+    sync(mm_chain(A1, A2))
+    t0 = time.perf_counter()
+    sync(mm_chain(A1, A2))
+    t_mm = max(time.perf_counter() - t0 - rtt, 1e-9) / 16
+    roof = 2 * Bm ** 3 / t_mm / 1e12
+    print(f"roofline {roof:.1f} TF/s bf16", flush=True)
+
+    slab = jnp.asarray(rng.standard_normal((2, RC, KC)), jnp.bfloat16)
+    vrow = jnp.asarray(rng.standard_normal((B, KC)), jnp.bfloat16)
+    aleaf = jnp.asarray(
+        np.eye(B) * 50.0 + rng.standard_normal((B, B)) * 0.01, jnp.float32)
+
+    ND, NL = 64, 8   # ~ one column at j=16: 64 chunk dots, vs 8 leaves
+    cases = [("dots-only", ND, 0, False),
+             ("leaves-only", 0, NL, False),
+             ("sequential", ND, NL, False),
+             ("interleaved", ND, NL, True)]
+    times = {}
+    for name, nd, nl, inter in cases:
+        try:
+            run = make_probe(nd, nl, inter)
+            sync(run(slab, vrow, aleaf))
+            t0 = time.perf_counter()
+            sync(run(slab, vrow, aleaf))
+            t = max(time.perf_counter() - t0 - rtt, 1e-9)
+            times[name] = t
+            extra = ""
+            if nd:
+                gf = 2 * RC * KC * B * nd / t / 1e12
+                extra = f"  ({gf:.1f} TF/s, {t/nd*1e6:.1f} us/dot)"
+            if name == "leaves-only" and nl:
+                extra = f"  ({t/nl*1e6:.1f} us/leaf)"
+            print(f"{name:12s} {t*1e3:7.2f} ms{extra}", flush=True)
+        except Exception as e:
+            print(f"{name} FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    if all(k in times for k in ("dots-only", "leaves-only", "sequential",
+                                "interleaved")):
+        s = times["dots-only"] + times["leaves-only"]
+        print(f"sum={s*1e3:.2f} ms; overlap gain seq->inter: "
+              f"{(times['sequential']-times['interleaved'])*1e3:+.2f} ms; "
+              f"inter vs max(parts): "
+              f"{times['interleaved']/max(times['dots-only'], times['leaves-only']):.2f}x",
+              flush=True)
+
+    # DMA stream rate
+    NCH = 64
+    hbm = jnp.asarray(rng.standard_normal((NCH, RC, KC)), jnp.bfloat16)
+    for with_dots in (False, True):
+        try:
+            run = make_dma_probe(NCH, with_dots)
+            sync(run(hbm, vrow))
+            t0 = time.perf_counter()
+            sync(run(hbm, vrow))
+            t = max(time.perf_counter() - t0 - rtt, 1e-9)
+            gb = NCH * RC * KC * 2 / t / 1e9
+            lab = "dma+dots" if with_dots else "dma-only"
+            print(f"{lab:12s} {t*1e3:7.2f} ms  ({gb:.0f} GB/s"
+                  + (f", {2*RC*KC*B*NCH/t/1e12:.1f} TF/s)" if with_dots
+                     else ")"), flush=True)
+        except Exception as e:
+            print(f"dma probe FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
