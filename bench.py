@@ -118,7 +118,8 @@ def main():
     # was ~3× ancestor-stream HBM traffic from per-block stacking);
     # "left" = the r2 stacked left-looking recursion (the r2 winner, kept
     # as the regression reference); "mega" = the whole-evidence Pallas op.
-    candidates = ([("flat-b512", ("flat", Policy(512, True, "xla", True))),
+    candidates = ([("panel-b512", "panel"),
+                   ("flat-b512", ("flat", Policy(512, True, "xla", True))),
                    ("flat-b512h",
                     ("flat", Policy(512, True, "xla", True,
                                     panelhalf=True))),
@@ -138,6 +139,13 @@ def main():
 
             def evidence(X, m):
                 logdet, quad = evidence_mega_rbf(
+                    X, m, inv_width, variance, noise, b=512)
+                return quad + logdet
+        elif pol == "panel":
+            from gpc_tpu.ops.chol_panel import evidence_panel_rbf
+
+            def evidence(X, m):
+                logdet, quad = evidence_panel_rbf(
                     X, m, inv_width, variance, noise, b=512)
                 return quad + logdet
         else:

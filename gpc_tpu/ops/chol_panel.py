@@ -79,25 +79,34 @@ def _dot_kk(a, b):
 
 
 def _panel_kernel(b, nb, q, D, mode,
-                  xs_ref, n2_ref, n2row_ref, m_ref, var_ref, noise_ref,
+                  xs_ref, n2row_ref, m_ref, var_ref, noise_ref,
                   T_ref, ld_ref, quad_ref,
                   acc, slab, vrow, stage, vbuf, ldacc, rsem, vsem, wsem):
     N = nb * b
     RC = KC = CB * b
+
+    def dsb(off, sz):
+        """pl.ds with a divisibility hint: every dynamic offset in this
+        kernel is a multiple of b, which Mosaic cannot prove on its own
+        ("Failed to prove that a tile index ... is divisible by the
+        tiling") — pl.multiple_of carries the proof."""
+        if isinstance(off, int):
+            return pl.ds(off, sz)
+        return pl.ds(pl.multiple_of(off, b), sz)
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
     dma = mode != "nodma"
 
     def initv(i, _):
-        vbuf[pl.ds(i * b, b), :] = m_ref[pl.ds(i * b, b), :]
+        vbuf[dsb(i * b, b), :] = m_ref[dsb(i * b, b), :]
         return 0
     lax.fori_loop(0, nb, initv, 0)
     ldacc[:, :] = jnp.zeros((1, 1), jnp.float32)
 
     def rd(slot, r0, rows, k0, kw):
         return pltpu.make_async_copy(
-            T_ref.at[pl.ds(r0, rows), pl.ds(k0, kw)],
-            slab.at[slot, pl.ds(0, rows), pl.ds(0, kw)],
+            T_ref.at[dsb(r0, rows), dsb(k0, kw)],
+            slab.at[slot, dsb(0, rows), dsb(0, kw)],
             rsem.at[slot])
 
     def make_variant(c):
@@ -120,13 +129,13 @@ def _panel_kernel(b, nb, q, D, mode,
             # started up front on one semaphore and waited in order below
             def vrow_cp(t):
                 return pltpu.make_async_copy(
-                    T_ref.at[pl.ds(jb, b), pl.ds(t * KC, KC)],
-                    vrow.at[:, pl.ds(t * KC, KC)], vsem)
+                    T_ref.at[dsb(jb, b), dsb(t * KC, KC)],
+                    vrow.at[:, dsb(t * KC, KC)], vsem)
 
             def vrow_tail_cp():
                 return pltpu.make_async_copy(
-                    T_ref.at[pl.ds(jb, b), pl.ds(kfull * KC, ktail)],
-                    vrow.at[:, pl.ds(kfull * KC, ktail)], vsem)
+                    T_ref.at[dsb(jb, b), dsb(kfull * KC, ktail)],
+                    vrow.at[:, dsb(kfull * KC, ktail)], vsem)
 
             def vstart(t, _):
                 vrow_cp(t).start()
@@ -145,15 +154,18 @@ def _panel_kernel(b, nb, q, D, mode,
 
             # -- panel Gram fill --------------------------------------------
             def gram_chunk(r0, rows):
-                Xi = xs_ref[pl.ds(r0, rows), :]
-                Xj = xs_ref[pl.ds(jb, b), :]
+                Xi = xs_ref[dsb(r0, rows), :]
+                Xj = xs_ref[dsb(jb, b), :]
                 G = lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                     precision=lax.Precision.HIGHEST)
-                d2 = jnp.maximum(n2_ref[pl.ds(r0, rows), :] +
-                                 n2row_ref[:, pl.ds(jb, b)] - 2.0 * G, 0.0)
+                # row norms derived in-kernel (a padded (N,1) f32 input costs
+                # 8.4 MB of VMEM — it tipped the 128 MB budget)
+                n2i = jnp.sum(Xi * Xi, axis=1, keepdims=True)
+                d2 = jnp.maximum(n2i +
+                                 n2row_ref[:, dsb(jb, b)] - 2.0 * G, 0.0)
                 g = var * d2 if mode == "nogram" else var * jnp.exp(-d2)
-                acc[pl.ds(r0 - jb, rows), :] = g
+                acc[dsb(r0 - jb, rows), :] = g
 
             def gram_body(t, _):
                 gram_chunk(jb + t * RC, RC)
@@ -172,10 +184,10 @@ def _panel_kernel(b, nb, q, D, mode,
             def sub_chunk(slot, r0, rows, k0, kw):
                 if mode == "nodot":
                     return
-                acc[pl.ds(r0 - jb, rows), :] = (
-                    acc[pl.ds(r0 - jb, rows), :]
-                    - _dot_kk(slab[slot, pl.ds(0, rows), pl.ds(0, kw)],
-                              vrow[:, pl.ds(k0, kw)]))
+                acc[dsb(r0 - jb, rows), :] = (
+                    acc[dsb(r0 - jb, rows), :]
+                    - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
+                              vrow[:, dsb(k0, kw)]))
 
             # -- quadrant A --------------------------------------------------
             def A_body(idx, _):
@@ -239,7 +251,7 @@ def _panel_kernel(b, nb, q, D, mode,
                 sub_chunk(2, rt0, rtail, kfull * KC, ktail)
 
             # -- diagonal leaf ----------------------------------------------
-            A = acc[pl.ds(0, b), :] + jnp.where(
+            A = acc[dsb(0, b), :] + jnp.where(
                 lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
                 lax.broadcasted_iota(jnp.int32, (1, b), 1), noise, 0.0)
             if mode == "fakeleaf":
@@ -253,37 +265,42 @@ def _panel_kernel(b, nb, q, D, mode,
                 Ld, Md = _factor_diag(A, b)
             ldacc[:, :] = (ldacc[:, :]
                            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld))))
-            vj = _gemm32(Md, vbuf[pl.ds(jb, b), :])
-            vbuf[pl.ds(jb, b), :] = vj
+            vj = _gemm32(Md, vbuf[dsb(jb, b), :])
+            vbuf[dsb(jb, b), :] = vj
             Md_bf = Md.astype(jnp.bfloat16)
 
             # -- panel solve + writeback + forward-solve --------------------
             sfull = (nrem - b - stail) // RC   # exact: divisible by RC
             last = j + 1 >= nb
+            if mode == "nosolve":
+                # slice-timing mode: skip panel solve + writeback + forward
+                # solve entirely (future corrections then read garbage —
+                # values are meaningless, timing isolates the solve phase)
+                return 0
 
             def S_body(t, _):
                 r0 = jb + b + t * RC
                 slot = lax.rem(t, 2)
                 Lp = lax.dot_general(
-                    acc[pl.ds(b + t * RC, RC), :].astype(jnp.bfloat16),
+                    acc[dsb(b + t * RC, RC), :].astype(jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT)
-                vbuf[pl.ds(r0, RC), :] = (
-                    vbuf[pl.ds(r0, RC), :] - _gemm32(Lp, vj))
+                vbuf[dsb(r0, RC), :] = (
+                    vbuf[dsb(r0, RC), :] - _gemm32(Lp, vj))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
                     @pl.when(t >= 2)
                     def _():
                         pltpu.make_async_copy(
-                            stage.at[slot, pl.ds(0, RC), :],
-                            T_ref.at[pl.ds(r0 - 2 * RC, RC), pl.ds(jb, b)],
+                            stage.at[slot, dsb(0, RC), :],
+                            T_ref.at[dsb(r0 - 2 * RC, RC), dsb(jb, b)],
                             wsem.at[slot]).wait()
-                    stage[slot, pl.ds(0, RC), :] = Lp.astype(jnp.bfloat16)
+                    stage[slot, dsb(0, RC), :] = Lp.astype(jnp.bfloat16)
                     pltpu.make_async_copy(
-                        stage.at[slot, pl.ds(0, RC), :],
-                        T_ref.at[pl.ds(r0, RC), pl.ds(jb, b)],
+                        stage.at[slot, dsb(0, RC), :],
+                        T_ref.at[dsb(r0, RC), dsb(jb, b)],
                         wsem.at[slot]).start()
                 return 0
             lax.fori_loop(0, sfull, S_body, 0)
@@ -293,8 +310,8 @@ def _panel_kernel(b, nb, q, D, mode,
                 @pl.when(jnp.logical_and(jnp.logical_not(last), t >= 0))
                 def _():
                     pltpu.make_async_copy(
-                        stage.at[lax.rem(t, 2), pl.ds(0, RC), :],
-                        T_ref.at[pl.ds(jb + b + t * RC, RC), pl.ds(jb, b)],
+                        stage.at[lax.rem(t, 2), dsb(0, RC), :],
+                        T_ref.at[dsb(jb + b + t * RC, RC), dsb(jb, b)],
                         wsem.at[lax.rem(t, 2)]).wait()
             drain(sfull - 2)
             drain(sfull - 1)
@@ -302,19 +319,19 @@ def _panel_kernel(b, nb, q, D, mode,
             if stail > 0:
                 st0 = jb + b + sfull * RC
                 Lp = lax.dot_general(
-                    acc[pl.ds(b + sfull * RC, stail), :].astype(jnp.bfloat16),
+                    acc[dsb(b + sfull * RC, stail), :].astype(jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT)
-                vbuf[pl.ds(st0, stail), :] = (
-                    vbuf[pl.ds(st0, stail), :] - _gemm32(Lp, vj))
+                vbuf[dsb(st0, stail), :] = (
+                    vbuf[dsb(st0, stail), :] - _gemm32(Lp, vj))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
-                    stage[0, pl.ds(0, stail), :] = Lp.astype(jnp.bfloat16)
+                    stage[0, dsb(0, stail), :] = Lp.astype(jnp.bfloat16)
                     cp = pltpu.make_async_copy(
-                        stage.at[0, pl.ds(0, stail), :],
-                        T_ref.at[pl.ds(st0, stail), pl.ds(jb, b)],
+                        stage.at[0, dsb(0, stail), :],
+                        T_ref.at[dsb(st0, stail), dsb(jb, b)],
                         wsem.at[0])
                     cp.start()
                     cp.wait()
@@ -350,7 +367,8 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     n2row = jnp.reshape(n2, (1, N))
     var2d = jnp.reshape(variance.astype(jnp.float32), (1, 1))
     noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
-    assert mode in ("full", "fakeleaf", "nodot", "nodma", "nogram")
+    assert mode in ("full", "fakeleaf", "nodot", "nodma", "nogram",
+                    "nosolve")
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(
@@ -362,7 +380,6 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Xs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # n2 (column)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # n2 (row)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # m
             pl.BlockSpec(memory_space=pltpu.SMEM),   # var
@@ -387,6 +404,6 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(Xs, n2, n2row, m.astype(jnp.float32), var2d, noise2d)
+    )(Xs, n2row, m.astype(jnp.float32), var2d, noise2d)
     del T
     return ld[0, 0], quad[0, 0]

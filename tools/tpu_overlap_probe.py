@@ -44,9 +44,13 @@ def _dot_kk(a, b):
                            precision=lax.Precision.DEFAULT)
 
 
-def make_probe(n_dots: int, n_leaves: int, interleave: bool):
+def make_probe(n_dots: int, n_leaves: int, interleave: bool,
+               indep: bool = False):
     """One kernel: n_dots Schur dots (RC,KC)x(B,KC) + n_leaves leaf factors,
-    either interleaved or sequential.  All operands VMEM-resident."""
+    either interleaved or sequential.  All operands VMEM-resident.
+    indep=True alternates the accumulation target between two buffers so
+    consecutive dots carry NO data dependency (MXU pipelining test — the
+    panel kernel can order its chunk loop r-fastest to get this)."""
 
     def kernel(slab_ref, vrow_ref, aleaf_ref, out_ref, ldout_ref, acc, ld):
         # fori-loop everything: Mosaic compile time explodes on UNROLLED
@@ -54,8 +58,9 @@ def make_probe(n_dots: int, n_leaves: int, interleave: bool):
         ld[:] = jnp.zeros((1, 1), jnp.float32)
 
         def one_dot(i):
-            acc[:, :] = acc[:, :] - _dot_kk(slab_ref[lax.rem(i, 2)],
-                                            vrow_ref[:, :])
+            tgt = lax.rem(i, 2) if indep else 0
+            acc[tgt] = acc[tgt] - _dot_kk(slab_ref[lax.rem(i, 2)],
+                                          vrow_ref[:, :])
 
         def one_leaf(i):
             # feed each leaf slightly different input so nothing is CSE'd
@@ -93,7 +98,7 @@ def make_probe(n_dots: int, n_leaves: int, interleave: bool):
             if n_leaves:
                 lax.fori_loop(0, n_leaves, lbody, 0)
         ldout_ref[:] = ld[:, :]
-        out_ref[:] = acc[pl.ds(0, 8), pl.ds(0, 128)] + ld[0, 0]
+        out_ref[:] = acc[0, pl.ds(0, 8), pl.ds(0, 128)] + ld[0, 0]
 
     @jax.jit
     def run(slab, vrow, aleaf):
@@ -104,7 +109,7 @@ def make_probe(n_dots: int, n_leaves: int, interleave: bool):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
-            scratch_shapes=[pltpu.VMEM((RC, B), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, RC, B), jnp.float32),
                             pltpu.VMEM((1, 1), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
@@ -114,9 +119,10 @@ def make_probe(n_dots: int, n_leaves: int, interleave: bool):
     return run
 
 
-def make_dma_probe(n_chunks: int, with_dots: bool):
-    """Stream n_chunks (RC,KC) bf16 slabs HBM→VMEM double-buffered, with or
-    without a dot per chunk — the panel kernel's A-quadrant skeleton."""
+def make_dma_probe(n_iters: int, n_bufs: int, with_dots: bool):
+    """Stream n_iters (RC,KC) bf16 slabs HBM→VMEM double-buffered (cycling
+    over n_bufs distinct HBM buffers), with or without a dot per chunk — the
+    panel kernel's A-quadrant skeleton."""
 
     def kernel(hbm_ref, vrow_ref, out_ref, acc, slab, sems):
         pltpu.make_async_copy(hbm_ref.at[0], slab.at[0], sems.at[0]).start()
@@ -124,12 +130,12 @@ def make_dma_probe(n_chunks: int, with_dots: bool):
         def body(i, _):
             slot = lax.rem(i, 2)
 
-            @pl.when(i + 1 < n_chunks)
+            @pl.when(i + 1 < n_iters)
             def _():
-                pltpu.make_async_copy(hbm_ref.at[lax.rem(i + 1, n_chunks)],
+                pltpu.make_async_copy(hbm_ref.at[lax.rem(i + 1, n_bufs)],
                                       slab.at[lax.rem(i + 1, 2)],
                                       sems.at[lax.rem(i + 1, 2)]).start()
-            pltpu.make_async_copy(hbm_ref.at[lax.rem(i, n_chunks)],
+            pltpu.make_async_copy(hbm_ref.at[lax.rem(i, n_bufs)],
                                   slab.at[slot], sems.at[slot]).wait()
             if with_dots:
                 acc[:, :] = acc[:, :] - _dot_kk(slab[slot], vrow_ref[:, :])
@@ -140,7 +146,7 @@ def make_dma_probe(n_chunks: int, with_dots: bool):
                         jnp.float32))
             return 0
 
-        lax.fori_loop(0, n_chunks, body, 0)
+        lax.fori_loop(0, n_iters, body, 0)
         out_ref[:] = acc[pl.ds(0, 8), pl.ds(0, 128)]
 
     @jax.jit
@@ -199,15 +205,23 @@ def main():
     aleaf = jnp.asarray(
         np.eye(B) * 50.0 + rng.standard_normal((B, B)) * 0.01, jnp.float32)
 
-    ND, NL = 64, 8   # ~ one column at j=16: 64 chunk dots, vs 8 leaves
-    cases = [("dots-only", ND, 0, False),
-             ("leaves-only", 0, NL, False),
-             ("sequential", ND, NL, False),
-             ("interleaved", ND, NL, True)]
+    # all counts are IN-KERNEL reps (single-invocation timings on axon are
+    # pure RTT noise — the first version of this probe proved that the hard
+    # way); differential pairs remove kernel-launch fixed costs
+    cases = [("dots-640", 640, 0, False, False),
+             ("dots-64", 64, 0, False, False),
+             ("dotsI-640", 640, 0, False, True),
+             ("dotsI-64", 64, 0, False, True),
+             ("leaves-64", 0, 64, False, False),
+             ("leaves-8", 0, 8, False, False),
+             ("seq-640+20", 640, 20, False, False),
+             ("inter-640+20", 640, 20, True, False),
+             ("seq-640+80", 640, 80, False, False),
+             ("inter-640+80", 640, 80, True, False)]
     times = {}
-    for name, nd, nl, inter in cases:
+    for name, nd, nl, inter, indep in cases:
         try:
-            run = make_probe(nd, nl, inter)
+            run = make_probe(nd, nl, inter, indep)
             sync(run(slab, vrow, aleaf))
             t0 = time.perf_counter()
             sync(run(slab, vrow, aleaf))
@@ -216,39 +230,51 @@ def main():
             extra = ""
             if nd:
                 gf = 2 * RC * KC * B * nd / t / 1e12
-                extra = f"  ({gf:.1f} TF/s, {t/nd*1e6:.1f} us/dot)"
-            if name == "leaves-only" and nl:
-                extra = f"  ({t/nl*1e6:.1f} us/leaf)"
-            print(f"{name:12s} {t*1e3:7.2f} ms{extra}", flush=True)
+                extra = f"  ({gf:.1f} TF/s)"
+            print(f"{name:14s} {t*1e3:7.2f} ms{extra}", flush=True)
         except Exception as e:
-            print(f"{name} FAILED {type(e).__name__}: {str(e)[:200]}",
+            print(f"{name} FAILED {type(e).__name__}: {str(e)[-180:]}",
                   flush=True)
-    if all(k in times for k in ("dots-only", "leaves-only", "sequential",
-                                "interleaved")):
-        s = times["dots-only"] + times["leaves-only"]
-        print(f"sum={s*1e3:.2f} ms; overlap gain seq->inter: "
-              f"{(times['sequential']-times['interleaved'])*1e3:+.2f} ms; "
-              f"inter vs max(parts): "
-              f"{times['interleaved']/max(times['dots-only'], times['leaves-only']):.2f}x",
-              flush=True)
+    if "dots-640" in times and "dots-64" in times:
+        us = (times["dots-640"] - times["dots-64"]) / 576 * 1e6
+        print(f"per-dot (differential): {us:.1f} us "
+              f"({2*RC*KC*B/us/1e6:.1f} TF/s)", flush=True)
+    if "dotsI-640" in times and "dotsI-64" in times:
+        us = (times["dotsI-640"] - times["dotsI-64"]) / 576 * 1e6
+        print(f"per-dot independent (differential): {us:.1f} us "
+              f"({2*RC*KC*B/us/1e6:.1f} TF/s)", flush=True)
+    if "leaves-64" in times and "leaves-8" in times:
+        us = (times["leaves-64"] - times["leaves-8"]) / 56 * 1e6
+        print(f"per-leaf (differential): {us:.1f} us", flush=True)
+    for nl in (20, 80):
+        ks = (f"seq-640+{nl}", f"inter-640+{nl}")
+        if all(k in times for k in ks) and "dots-640" in times:
+            extra_seq = (times[ks[0]] - times["dots-640"]) * 1e6 / nl
+            extra_int = (times[ks[1]] - times["dots-640"]) * 1e6 / nl
+            print(f"leaf marginal cost over dots ({nl} leaves): "
+                  f"sequential {extra_seq:.1f} us/leaf, "
+                  f"interleaved {extra_int:.1f} us/leaf", flush=True)
 
-    # DMA stream rate
-    NCH = 64
-    hbm = jnp.asarray(rng.standard_normal((NCH, RC, KC)), jnp.bfloat16)
+    # DMA stream rate (differential over iteration count)
+    NB = 64
+    hbm = jnp.asarray(rng.standard_normal((NB, RC, KC)), jnp.bfloat16)
     for with_dots in (False, True):
+        lab = "dma+dots" if with_dots else "dma-only"
         try:
-            run = make_dma_probe(NCH, with_dots)
-            sync(run(hbm, vrow))
-            t0 = time.perf_counter()
-            sync(run(hbm, vrow))
-            t = max(time.perf_counter() - t0 - rtt, 1e-9)
-            gb = NCH * RC * KC * 2 / t / 1e9
-            lab = "dma+dots" if with_dots else "dma-only"
-            print(f"{lab:12s} {t*1e3:7.2f} ms  ({gb:.0f} GB/s"
-                  + (f", {2*RC*KC*B*NCH/t/1e12:.1f} TF/s)" if with_dots
+            ts = {}
+            for n_iters in (64, 640):
+                run = make_dma_probe(n_iters, NB, with_dots)
+                sync(run(hbm, vrow))
+                t0 = time.perf_counter()
+                sync(run(hbm, vrow))
+                ts[n_iters] = max(time.perf_counter() - t0 - rtt, 1e-9)
+            per = (ts[640] - ts[64]) / 576
+            gb = RC * KC * 2 / per / 1e9
+            print(f"{lab:12s} {per*1e6:.1f} us/chunk  ({gb:.0f} GB/s"
+                  + (f", {2*RC*KC*B/per/1e12:.1f} TF/s)" if with_dots
                      else ")"), flush=True)
         except Exception as e:
-            print(f"dma probe FAILED {type(e).__name__}: {str(e)[:200]}",
+            print(f"{lab} FAILED {type(e).__name__}: {str(e)[-180:]}",
                   flush=True)
 
 
