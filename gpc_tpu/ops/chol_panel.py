@@ -68,6 +68,98 @@ except Exception:  # pragma: no cover
 from gpc_tpu.ops.chol_mega import _factor_diag, _gemm32
 
 CB = 4  # chunk size in b-blocks: RC = KC = CB·b; nb must divide by CB
+LEAF = 128
+_UNROLL = 16
+
+
+def _cholinv_leaf_fast(A):
+    """L⁻¹ of one PD LEAF×LEAF f32 block — augmented-matrix column sweep.
+
+    The leaf chain is pure op-ISSUE latency on the single-stream TPU core
+    (measured: ~0.35 µs per matrix column; VPU/MXU overlap does NOT exist —
+    tools/tpu_overlap_probe.py), so the only lever is ops per column.  This
+    sweep maintains W = [A | M] and applies ONE unmasked rank-1 row update
+    per column (~13 ops/col vs ~23 in chol_mega._cholinv_leaf):
+
+      · the A half's trailing (r > c, k > c) block receives the exact
+        symmetric Schur update, because row c of A equals column c by
+        symmetry — so the update row (rowc·d^-½) doubles as both the
+        Gauss-Jordan elimination row for M and lᵀ for A;
+      · columns ≤ c of the A half get corrupted by the unmasked update and
+        are NEVER read again (future columns read only k > c);
+      · L is never stored: the caller takes logdet from diag(M) = 1/diag(L).
+
+    Returns M = L⁻¹ (lower triangular, exact rows; strictly-upper garbage is
+    zeroed by the final mask)."""
+    n = A.shape[0]
+    rows_c = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = lax.broadcasted_iota(jnp.int32, (1, 2 * n), 1)
+    colmask = cols_r[:, :n]
+    W0 = jnp.concatenate(
+        [A, (rows_c == colmask).astype(A.dtype)], axis=1)
+
+    def col(c, W):
+        rowsel = (rows_c == c).astype(A.dtype)
+        rowc = jnp.sum(W * rowsel, axis=0, keepdims=True)        # (1, 2n)
+        pivot = jnp.sum(jnp.where(cols_r == c, rowc, 0.0), keepdims=True)
+        inv_d = lax.rsqrt(pivot)
+        colj = jnp.sum(jnp.where(colmask == c, W[:, :n], 0.0), axis=1,
+                       keepdims=True)                            # (n, 1)
+        l = jnp.where(rows_c > c, colj, 0.0) * inv_d
+        urow = rowc * inv_d
+        W = W - l * urow
+        return jnp.where(rows_c == c, urow, W)
+
+    def outer(s, W):
+        c0 = s * _UNROLL
+        for u in range(_UNROLL):
+            W = col(c0 + u, W)
+        return W
+
+    W = lax.fori_loop(0, n // _UNROLL, outer, W0)
+    M = W[:, n:]
+    return jnp.where(colmask <= rows_c, M, 0.0)
+
+
+def _factor_diag_fast(A, b):
+    """(L_jj⁻¹, logdet) of a PD b×b block: LEAF-blocked elimination with the
+    fast augmented leaves — never materializes L (chol_mega._factor_diag's
+    structure minus the L bookkeeping; logdet = −2 Σ log diag(leaf M))."""
+    nb = b // LEAF
+    Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
+           for j in range(nb)] for i in range(nb)]
+    Ls = [[None] * nb for _ in range(nb)]
+    Ms = [[None] * nb for _ in range(nb)]
+    ld = jnp.zeros((), jnp.float32)
+    for p in range(nb):
+        Mp = _cholinv_leaf_fast(Ab[p][p])
+        Ms[p][p] = Mp
+        ld = ld - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Mp)))
+        for i in range(p + 1, nb):
+            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
+        for i in range(p + 1, nb):
+            for j in range(p + 1, i + 1):
+                Ab[i][j] = Ab[i][j] - _gemm32(
+                    Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
+    for j in range(nb):
+        for i in range(j + 1, nb):
+            acc = _gemm32(Ls[i][j], Ms[j][j])
+            for k in range(j + 1, i):
+                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
+            Ms[i][j] = -_gemm32(Ms[i][i], acc)
+    zero = jnp.zeros((LEAF, LEAF), A.dtype)
+    M = jnp.concatenate([
+        jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
+                        axis=1) for i in range(nb)], axis=0)
+    return M, ld
+
+
+def _gemm_bf(a, b):
+    """a @ b with bf16 lhs, f32 accumulation (forward-solve decrements)."""
+    return lax.dot_general(a, b.astype(jnp.bfloat16),
+                           (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.DEFAULT)
 
 
 def _dot_kk(a, b):
@@ -95,7 +187,8 @@ def _panel_kernel(b, nb, q, D, mode,
         return pl.ds(pl.multiple_of(off, b), sz)
     var = var_ref[0, 0]
     noise = noise_ref[0, 0]
-    dma = mode != "nodma"
+    modes = frozenset(mode.split("+"))   # slice modes compose: "fakeleaf+notail"
+    dma = "nodma" not in modes
 
     def initv(i, _):
         vbuf[dsb(i * b, b), :] = m_ref[dsb(i * b, b), :]
@@ -147,7 +240,7 @@ def _panel_kernel(b, nb, q, D, mode,
                 @pl.when(nA > 0)
                 def _():
                     rd(0, jb, RC, 0, KC).start()
-                if ktail > 0:
+                if ktail > 0 and "notail" not in modes:
                     @pl.when(rfull > 0)
                     def _():
                         rd(2, jb, RC, kfull * KC, ktail).start()
@@ -164,7 +257,9 @@ def _panel_kernel(b, nb, q, D, mode,
                 n2i = jnp.sum(Xi * Xi, axis=1, keepdims=True)
                 d2 = jnp.maximum(n2i +
                                  n2row_ref[:, dsb(jb, b)] - 2.0 * G, 0.0)
-                g = var * d2 if mode == "nogram" else var * jnp.exp(-d2)
+                g = var * d2 if "nogram" in modes else var * jnp.exp(-d2)
+                if "zerogram" in modes:   # isolate the whole gram-fill cost
+                    g = jnp.full((rows, b), var, jnp.float32)
                 acc[dsb(r0 - jb, rows), :] = g
 
             def gram_body(t, _):
@@ -182,7 +277,7 @@ def _panel_kernel(b, nb, q, D, mode,
                 vrow_tail_cp().wait()
 
             def sub_chunk(slot, r0, rows, k0, kw):
-                if mode == "nodot":
+                if "nodot" in modes:
                     return
                 acc[dsb(r0 - jb, rows), :] = (
                     acc[dsb(r0 - jb, rows), :]
@@ -205,14 +300,15 @@ def _panel_kernel(b, nb, q, D, mode,
                 return 0
             lax.fori_loop(0, nA, A_body, 0)
 
+            notail = "notail" in modes
             # prime C's head (slots 0/1 drained): overlaps quadrant B
-            if dma and rtail > 0:
+            if dma and rtail > 0 and not notail:
                 @pl.when(kfull > 0)
                 def _():
                     rd(0, rt0, rtail, 0, KC).start()
 
             # -- quadrant B --------------------------------------------------
-            if ktail > 0:
+            if ktail > 0 and not notail:
                 def B_body(t, _):
                     r0 = jb + t * RC
                     slot = 2 + lax.rem(t, 2)
@@ -227,11 +323,11 @@ def _panel_kernel(b, nb, q, D, mode,
                 lax.fori_loop(0, rfull, B_body, 0)
 
             # prime D (slot 2 free: B fully drained, or never ran)
-            if dma and rtail > 0 and ktail > 0:
+            if dma and rtail > 0 and ktail > 0 and not notail:
                 rd(2, rt0, rtail, kfull * KC, ktail).start()
 
             # -- quadrant C --------------------------------------------------
-            if rtail > 0:
+            if rtail > 0 and not notail:
                 def C_body(t, _):
                     slot = lax.rem(t, 2)
                     if dma:
@@ -245,7 +341,7 @@ def _panel_kernel(b, nb, q, D, mode,
                 lax.fori_loop(0, kfull, C_body, 0)
 
             # -- quadrant D --------------------------------------------------
-            if rtail > 0 and ktail > 0:
+            if rtail > 0 and ktail > 0 and not notail:
                 if dma:
                     rd(2, rt0, rtail, kfull * KC, ktail).wait()
                 sub_chunk(2, rt0, rtail, kfull * KC, ktail)
@@ -254,17 +350,19 @@ def _panel_kernel(b, nb, q, D, mode,
             A = acc[dsb(0, b), :] + jnp.where(
                 lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
                 lax.broadcasted_iota(jnp.int32, (1, b), 1), noise, 0.0)
-            if mode == "fakeleaf":
+            if "fakeleaf" in modes:
                 eye = (lax.broadcasted_iota(jnp.int32, (b, 1), 0) ==
                        lax.broadcasted_iota(jnp.int32, (1, b), 1)).astype(
                            jnp.float32)
                 dcol = jnp.max(jnp.abs(A), axis=1, keepdims=True) + 1.0
-                Ld = eye * dcol
                 Md = eye * lax.reciprocal(dcol)
-            else:
+                ldj = jnp.sum(jnp.log(dcol))
+            elif "oldleaf" in modes:    # chol_mega's leaf, for A/B timing
                 Ld, Md = _factor_diag(A, b)
-            ldacc[:, :] = (ldacc[:, :]
-                           + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld))))
+                ldj = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
+            else:
+                Md, ldj = _factor_diag_fast(A, b)
+            ldacc[:, :] = ldacc[:, :] + ldj
             vj = _gemm32(Md, vbuf[dsb(jb, b), :])
             vbuf[dsb(jb, b), :] = vj
             Md_bf = Md.astype(jnp.bfloat16)
@@ -272,7 +370,7 @@ def _panel_kernel(b, nb, q, D, mode,
             # -- panel solve + writeback + forward-solve --------------------
             sfull = (nrem - b - stail) // RC   # exact: divisible by RC
             last = j + 1 >= nb
-            if mode == "nosolve":
+            if "nosolve" in modes:
                 # slice-timing mode: skip panel solve + writeback + forward
                 # solve entirely (future corrections then read garbage —
                 # values are meaningless, timing isolates the solve phase)
@@ -285,9 +383,9 @@ def _panel_kernel(b, nb, q, D, mode,
                     acc[dsb(b + t * RC, RC), :].astype(jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=lax.Precision.DEFAULT)
+                    precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
                 vbuf[dsb(r0, RC), :] = (
-                    vbuf[dsb(r0, RC), :] - _gemm32(Lp, vj))
+                    vbuf[dsb(r0, RC), :] - _gemm_bf(Lp, vj))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
@@ -297,7 +395,7 @@ def _panel_kernel(b, nb, q, D, mode,
                             stage.at[slot, dsb(0, RC), :],
                             T_ref.at[dsb(r0 - 2 * RC, RC), dsb(jb, b)],
                             wsem.at[slot]).wait()
-                    stage[slot, dsb(0, RC), :] = Lp.astype(jnp.bfloat16)
+                    stage[slot, dsb(0, RC), :] = Lp
                     pltpu.make_async_copy(
                         stage.at[slot, dsb(0, RC), :],
                         T_ref.at[dsb(r0, RC), dsb(jb, b)],
@@ -322,13 +420,13 @@ def _panel_kernel(b, nb, q, D, mode,
                     acc[dsb(b + sfull * RC, stail), :].astype(jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=lax.Precision.DEFAULT)
+                    precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
                 vbuf[dsb(st0, stail), :] = (
-                    vbuf[dsb(st0, stail), :] - _gemm32(Lp, vj))
+                    vbuf[dsb(st0, stail), :] - _gemm_bf(Lp, vj))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
-                    stage[0, dsb(0, stail), :] = Lp.astype(jnp.bfloat16)
+                    stage[0, dsb(0, stail), :] = Lp
                     cp = pltpu.make_async_copy(
                         stage.at[0, dsb(0, stail), :],
                         T_ref.at[dsb(st0, stail), dsb(jb, b)],
@@ -367,8 +465,9 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     n2row = jnp.reshape(n2, (1, N))
     var2d = jnp.reshape(variance.astype(jnp.float32), (1, 1))
     noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
-    assert mode in ("full", "fakeleaf", "nodot", "nodma", "nogram",
-                    "nosolve")
+    for part in mode.split("+"):
+        assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
+                        "nogram", "nosolve", "notail", "zerogram"), part
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(

@@ -167,6 +167,82 @@ def make_dma_probe(n_iters: int, n_bufs: int, with_dots: bool):
     return run
 
 
+def make_leaf_parts_probe(kind: str, n: int):
+    """Leaf-cost decomposition: where do _factor_diag(512)'s 192 us go?
+      sweep128 — n x _cholinv_leaf(128) alone (the VPU column sweeps)
+      gemm512  — n x dependent 512^3 bf16 GEMMs (small-GEMM issue cost)
+      gemm128  — n x dependent 128^3 f32 GEMMs (leaf-assembly-sized)
+      fdiag    — n x full _factor_diag(512)
+      fsweep128 / ffdiag — the chol_panel fast augmented variants
+    """
+    from gpc_tpu.ops.chol_mega import _cholinv_leaf
+    from gpc_tpu.ops.chol_panel import _cholinv_leaf_fast, _factor_diag_fast
+
+    def kernel(a512_ref, a128_ref, out_ref, acc):
+        def body(i, _):
+            fi = i.astype(jnp.float32)
+            if kind == "sweep128":
+                A = a128_ref[:, :] + fi * 1e-3
+                L, M = _cholinv_leaf(A)
+                # consume EVERYTHING (slice-only consumption lets Mosaic
+                # dead-code most of the sweep — measured 43.7 us vs real)
+                acc[pl.ds(0, 1), pl.ds(0, 128)] = (
+                    acc[pl.ds(0, 1), pl.ds(0, 128)]
+                    + jnp.sum(L, axis=0, keepdims=True)
+                    + jnp.sum(M, axis=0, keepdims=True))
+            elif kind == "gemm512":
+                prod = lax.dot_general(
+                    acc[:, :].astype(jnp.bfloat16),
+                    a512_ref[:, :].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT)
+                acc[:, :] = prod * 1e-6 + fi * 1e-9
+            elif kind == "gemm128":
+                sl = acc[pl.ds(0, 128), pl.ds(0, 128)]
+                prod = lax.dot_general(
+                    sl, a128_ref[:, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+                acc[pl.ds(0, 128), pl.ds(0, 128)] = prod * 1e-6 + fi * 1e-9
+            elif kind == "fsweep128":
+                A = a128_ref[:, :] + fi * 1e-3
+                M = _cholinv_leaf_fast(A)
+                acc[pl.ds(0, 1), pl.ds(0, 128)] = (
+                    acc[pl.ds(0, 1), pl.ds(0, 128)]
+                    + jnp.sum(M, axis=0, keepdims=True))
+            elif kind == "ffdiag":
+                A = a512_ref[:, :] + fi * 1e-3
+                M, ld2 = _factor_diag_fast(A, 512)
+                acc[pl.ds(0, 1), pl.ds(0, 128)] = (
+                    acc[pl.ds(0, 1), pl.ds(0, 128)]
+                    + jnp.sum(M, axis=0, keepdims=True)[:, 0:128] + ld2)
+            else:  # fdiag
+                A = a512_ref[:, :] + fi * 1e-3
+                L, M = _factor_diag(A, 512)
+                acc[pl.ds(0, 1), pl.ds(0, 128)] = (
+                    acc[pl.ds(0, 1), pl.ds(0, 128)]
+                    + jnp.sum(L, axis=0, keepdims=True)[:, 0:128]
+                    + jnp.sum(M, axis=0, keepdims=True)[:, 0:128])
+            return 0
+        lax.fori_loop(0, n, body, 0)
+        out_ref[:] = acc[pl.ds(0, 8), pl.ds(0, 128)]
+
+    @jax.jit
+    def run(a512, a128):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((512, 512), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+        )(a512, a128)
+
+    return run
+
+
 def main():
     def sync(x):
         return float(jnp.ravel(x)[0])
@@ -254,6 +330,29 @@ def main():
             print(f"leaf marginal cost over dots ({nl} leaves): "
                   f"sequential {extra_seq:.1f} us/leaf, "
                   f"interleaved {extra_int:.1f} us/leaf", flush=True)
+
+    # leaf-cost decomposition (differential pairs)
+    a512 = jnp.asarray(np.eye(512) * 50.0
+                       + rng.standard_normal((512, 512)) * 0.01, jnp.float32)
+    a128 = jnp.asarray(np.eye(128) * 50.0
+                       + rng.standard_normal((128, 128)) * 0.01, jnp.float32)
+    for kind, lo, hi in (("sweep128", 16, 160), ("fsweep128", 16, 160),
+                         ("gemm512", 64, 640), ("gemm128", 64, 640),
+                         ("fdiag", 8, 80), ("ffdiag", 8, 80)):
+        try:
+            ts = {}
+            for n in (lo, hi):
+                run = make_leaf_parts_probe(kind, n)
+                sync(run(a512, a128))
+                t0 = time.perf_counter()
+                sync(run(a512, a128))
+                ts[n] = max(time.perf_counter() - t0 - rtt, 1e-9)
+            per = (ts[hi] - ts[lo]) / (hi - lo)
+            print(f"{kind:10s} {per*1e6:7.1f} us each (differential)",
+                  flush=True)
+        except Exception as e:
+            print(f"{kind} FAILED {type(e).__name__}: {str(e)[-180:]}",
+                  flush=True)
 
     # DMA stream rate (differential over iteration count)
     NB = 64
