@@ -45,7 +45,7 @@ def _dot_kk(a, b):
 
 
 def make_probe(n_dots: int, n_leaves: int, interleave: bool,
-               indep: bool = False):
+               indep: bool = False, overwrite: bool = False):
     """One kernel: n_dots Schur dots (RC,KC)x(B,KC) + n_leaves leaf factors,
     either interleaved or sequential.  All operands VMEM-resident.
     indep=True alternates the accumulation target between two buffers so
@@ -59,8 +59,12 @@ def make_probe(n_dots: int, n_leaves: int, interleave: bool,
 
         def one_dot(i):
             tgt = lax.rem(i, 2) if indep else 0
-            acc[tgt] = acc[tgt] - _dot_kk(slab_ref[lax.rem(i, 2)],
-                                          vrow_ref[:, :])
+            if overwrite:
+                acc[tgt] = (_dot_kk(slab_ref[lax.rem(i, 2)], vrow_ref[:, :])
+                            + jnp.float32(1e-30) * i.astype(jnp.float32))
+            else:
+                acc[tgt] = acc[tgt] - _dot_kk(slab_ref[lax.rem(i, 2)],
+                                              vrow_ref[:, :])
 
         def one_leaf(i):
             # feed each leaf slightly different input so nothing is CSE'd
