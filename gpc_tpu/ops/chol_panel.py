@@ -121,15 +121,6 @@ def _cholinv_leaf_fast(A):
     return jnp.where(colmask <= rows_c, M, 0.0)
 
 
-def _gemm_lf(a, bm, dims=(((1,), (0,)), ((), ()))):
-    """Leaf-assembly GEMM: bf16 inputs, f32 accumulation — the same policy as
-    the panel GEMMs outside (HIGHEST f32 here measured ~2x the op cost for
-    no evidence-level accuracy gain; the sweeps stay f32)."""
-    return lax.dot_general(a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
-                           dims, preferred_element_type=jnp.float32,
-                           precision=lax.Precision.DEFAULT)
-
-
 def _factor_diag_fast(A, b):
     """(L_jj⁻¹, logdet) of a PD b×b block: LEAF-blocked elimination with the
     fast augmented leaves — never materializes L (chol_mega._factor_diag's
@@ -145,17 +136,17 @@ def _factor_diag_fast(A, b):
         Ms[p][p] = Mp
         ld = ld - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Mp)))
         for i in range(p + 1, nb):
-            Ls[i][p] = _gemm_lf(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
+            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
         for i in range(p + 1, nb):
             for j in range(p + 1, i + 1):
-                Ab[i][j] = Ab[i][j] - _gemm_lf(
+                Ab[i][j] = Ab[i][j] - _gemm32(
                     Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
     for j in range(nb):
         for i in range(j + 1, nb):
-            acc = _gemm_lf(Ls[i][j], Ms[j][j])
+            acc = _gemm32(Ls[i][j], Ms[j][j])
             for k in range(j + 1, i):
-                acc = acc + _gemm_lf(Ls[i][k], Ms[k][j])
-            Ms[i][j] = -_gemm_lf(Ms[i][i], acc)
+                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
+            Ms[i][j] = -_gemm32(Ms[i][i], acc)
     zero = jnp.zeros((LEAF, LEAF), A.dtype)
     M = jnp.concatenate([
         jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
@@ -385,11 +376,59 @@ def _panel_kernel(b, nb, q, D, mode,
                 # values are meaningless, timing isolates the solve phase)
                 return 0
 
+            # solve spans of 2·RC halve the per-chunk op overhead (one dot +
+            # one vbuf GEMM + one stage write per 4096 rows); a pl.when'd
+            # single-RC leftover keeps the grid exact for odd sfull.  At
+            # small N a 2·RC slice would exceed the acc buffer at TRACE time,
+            # so the span falls back to RC there (sodd is then always 0).
+            SRB = 2 if N >= 2 * RC + b else 1
+            SR = SRB * RC
+            spairs = sfull // SRB
+            sodd = sfull - SRB * spairs
+
             def S_body(t, _):
-                r0 = jb + b + t * RC
+                r0 = jb + b + t * SR
                 slot = lax.rem(t, 2)
                 Lp = lax.dot_general(
-                    acc[dsb(b + t * RC, RC), :].astype(jnp.bfloat16),
+                    acc[dsb(b + t * SR, SR), :].astype(jnp.bfloat16),
+                    Md_bf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
+                vbuf[dsb(r0, SR), :] = (
+                    vbuf[dsb(r0, SR), :] - _gemm_bf(Lp, vj))
+
+                @pl.when(jnp.logical_not(last))
+                def _():
+                    @pl.when(t >= 2)
+                    def _():
+                        pltpu.make_async_copy(
+                            stage.at[slot, dsb(0, SR), :],
+                            T_ref.at[dsb(r0 - 2 * SR, SR), dsb(jb, b)],
+                            wsem.at[slot]).wait()
+                    stage[slot, dsb(0, SR), :] = Lp
+                    pltpu.make_async_copy(
+                        stage.at[slot, dsb(0, SR), :],
+                        T_ref.at[dsb(r0, SR), dsb(jb, b)],
+                        wsem.at[slot]).start()
+                return 0
+            lax.fori_loop(0, spairs, S_body, 0)
+
+            # drain the last ≤2 outstanding span writes
+            def drain(t):
+                @pl.when(jnp.logical_and(jnp.logical_not(last), t >= 0))
+                def _():
+                    pltpu.make_async_copy(
+                        stage.at[lax.rem(t, 2), dsb(0, SR), :],
+                        T_ref.at[dsb(jb + b + t * SR, SR), dsb(jb, b)],
+                        wsem.at[lax.rem(t, 2)]).wait()
+            drain(spairs - 2)
+            drain(spairs - 1)
+
+            @pl.when(sodd == 1)
+            def _():
+                r0 = jb + b + spairs * SR
+                Lp = lax.dot_general(
+                    acc[dsb(b + spairs * SR, RC), :].astype(jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
@@ -398,30 +437,13 @@ def _panel_kernel(b, nb, q, D, mode,
 
                 @pl.when(jnp.logical_not(last))
                 def _():
-                    @pl.when(t >= 2)
-                    def _():
-                        pltpu.make_async_copy(
-                            stage.at[slot, dsb(0, RC), :],
-                            T_ref.at[dsb(r0 - 2 * RC, RC), dsb(jb, b)],
-                            wsem.at[slot]).wait()
-                    stage[slot, dsb(0, RC), :] = Lp
-                    pltpu.make_async_copy(
-                        stage.at[slot, dsb(0, RC), :],
+                    stage[0, dsb(0, RC), :] = Lp
+                    cp = pltpu.make_async_copy(
+                        stage.at[0, dsb(0, RC), :],
                         T_ref.at[dsb(r0, RC), dsb(jb, b)],
-                        wsem.at[slot]).start()
-                return 0
-            lax.fori_loop(0, sfull, S_body, 0)
-
-            # drain the last ≤2 outstanding full-chunk writes
-            def drain(t):
-                @pl.when(jnp.logical_and(jnp.logical_not(last), t >= 0))
-                def _():
-                    pltpu.make_async_copy(
-                        stage.at[lax.rem(t, 2), dsb(0, RC), :],
-                        T_ref.at[dsb(jb + b + t * RC, RC), dsb(jb, b)],
-                        wsem.at[lax.rem(t, 2)]).wait()
-            drain(sfull - 2)
-            drain(sfull - 1)
+                        wsem.at[0])
+                    cp.start()
+                    cp.wait()
 
             if stail > 0:
                 st0 = jb + b + sfull * RC
@@ -502,7 +524,7 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pltpu.VMEM((N, b), jnp.float32),          # acc (panel)
             pltpu.VMEM((4, RC, KC), jnp.bfloat16),    # slab slots
             pltpu.VMEM((b, N), jnp.bfloat16),         # vrow (j-row ancestors)
-            pltpu.VMEM((2, RC, b), jnp.bfloat16),     # panel write staging
+            pltpu.VMEM((2, 2 * RC, b), jnp.bfloat16),  # panel write staging
             pltpu.VMEM((N, D), jnp.float32),          # vbuf
             pltpu.VMEM((1, 1), jnp.float32),          # logdet accumulator
             pltpu.SemaphoreType.DMA((4,)),            # slab read sems
