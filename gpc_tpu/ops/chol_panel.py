@@ -154,10 +154,15 @@ def _factor_diag_fast(A, b):
     return M, ld
 
 
-def _gemm_bf(a, b):
-    """a @ b with bf16 lhs, f32 accumulation (forward-solve decrements)."""
-    return lax.dot_general(a, b.astype(jnp.bfloat16),
-                           (((1,), (0,)), ((), ())),
+def _vrow_gemm(v, M):
+    """v·Mᵀ for ROW-stored solve state: v (D, n), M (m, n) → (D, m).
+
+    The forward-solve state lives as (D, N) — an (N, 1) column vector would
+    pad its lane dimension 1 → 128 in VMEM (8.4 MB for 64 KB of data; m and
+    vbuf together tipped the 128 MB budget) — and the row form needs no
+    (n,1)↔(1,n) transposes (a known Mosaic miscompile pattern)."""
+    return lax.dot_general(v.astype(jnp.bfloat16), M.astype(jnp.bfloat16),
+                           (((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32,
                            precision=lax.Precision.DEFAULT)
 
@@ -190,10 +195,7 @@ def _panel_kernel(b, nb, q, D, mode,
     modes = frozenset(mode.split("+"))   # slice modes compose: "fakeleaf+notail"
     dma = "nodma" not in modes
 
-    def initv(i, _):
-        vbuf[dsb(i * b, b), :] = m_ref[dsb(i * b, b), :]
-        return 0
-    lax.fori_loop(0, nb, initv, 0)
+    vbuf[:, :] = m_ref[:, :]           # row-stored residual (D, N)
     ldacc[:, :] = jnp.zeros((1, 1), jnp.float32)
 
     def rd(slot, r0, rows, k0, kw):
@@ -217,9 +219,11 @@ def _panel_kernel(b, nb, q, D, mode,
             rt0 = jb + rfull * RC             # r-tail start row (traced)
 
             # -- j-row ancestors + prime A/B heads --------------------------
-            # DMA sizes must be STATIC: the (b, jb) j-row copy goes as kfull
-            # KC-wide chunks (traced offsets) + the static k-tail, all
-            # started up front on one semaphore and waited in order below
+            # The j-row copy was STARTED at the end of column j−1 (its panels
+            # were drained by then), so by now the DMA has had a whole
+            # solve+drain phase to land — this column only WAITS.  DMA sizes
+            # must be STATIC: kfull KC-wide chunks (traced offsets) + the
+            # static k-tail, one semaphore, waited in start order.
             def vrow_cp(t):
                 return pltpu.make_async_copy(
                     T_ref.at[dsb(jb, b), dsb(t * KC, KC)],
@@ -230,12 +234,6 @@ def _panel_kernel(b, nb, q, D, mode,
                     T_ref.at[dsb(jb, b), dsb(kfull * KC, ktail)],
                     vrow.at[:, dsb(kfull * KC, ktail)], vsem)
 
-            def vstart(t, _):
-                vrow_cp(t).start()
-                return 0
-            lax.fori_loop(0, kfull, vstart, 0)
-            if ktail > 0:
-                vrow_tail_cp().start()
             if dma:
                 @pl.when(nA > 0)
                 def _():
@@ -245,8 +243,15 @@ def _panel_kernel(b, nb, q, D, mode,
                     def _():
                         rd(2, jb, RC, kfull * KC, ktail).start()
 
-            # -- panel Gram fill --------------------------------------------
-            def gram_chunk(r0, rows):
+            def vwait(t, _):
+                vrow_cp(t).wait()
+                return 0
+            lax.fori_loop(0, kfull, vwait, 0)
+            if ktail > 0:
+                vrow_tail_cp().wait()
+
+            # -- panel Gram (VALUE producer; stored by the k0==0 chunks) ----
+            def gram_val(r0, rows):
                 Xi = xs_ref[dsb(r0, rows), :]
                 Xj = xs_ref[dsb(jb, b), :]
                 G = lax.dot_general(Xi, Xj, (((1,), (1,)), ((), ())),
@@ -260,29 +265,39 @@ def _panel_kernel(b, nb, q, D, mode,
                 g = var * d2 if "nogram" in modes else var * jnp.exp(-d2)
                 if "zerogram" in modes:   # isolate the whole gram-fill cost
                     g = jnp.full((rows, b), var, jnp.float32)
-                acc[dsb(r0 - jb, rows), :] = g
+                return g
 
-            def gram_body(t, _):
-                gram_chunk(jb + t * RC, RC)
-                return 0
-            lax.fori_loop(0, rfull, gram_body, 0)
-            if rtail > 0:
-                gram_chunk(rt0, rtail)
-
-            def vwait(t, _):
-                vrow_cp(t).wait()
-                return 0
-            lax.fori_loop(0, kfull, vwait, 0)
-            if ktail > 0:
-                vrow_tail_cp().wait()
+            # column j = 0 has no correction chunks: fill acc directly
+            if c == 0:
+                @pl.when(j == 0)
+                def _():
+                    def gram_body(t, _):
+                        acc[dsb(t * RC, RC), :] = gram_val(t * RC, RC)
+                        return 0
+                    lax.fori_loop(0, rfull, gram_body, 0)
 
             def sub_chunk(slot, r0, rows, k0, kw):
+                """One correction chunk.  The k0==0 chunk of each row range
+                INITIALIZES acc with the Gram panel minus its dot — fusing
+                the old separate Gram pass into the first correction (saves
+                one full acc write+read pass per column)."""
+                first = k0 == 0
                 if "nodot" in modes:
+                    @pl.when(first)
+                    def _():
+                        acc[dsb(r0 - jb, rows), :] = gram_val(r0, rows)
                     return
-                acc[dsb(r0 - jb, rows), :] = (
-                    acc[dsb(r0 - jb, rows), :]
-                    - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
-                              vrow[:, dsb(k0, kw)]))
+                d = _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
+                            vrow[:, dsb(k0, kw)])
+
+                @pl.when(first)
+                def _():
+                    acc[dsb(r0 - jb, rows), :] = gram_val(r0, rows) - d
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    acc[dsb(r0 - jb, rows), :] = (
+                        acc[dsb(r0 - jb, rows), :] - d)
 
             # -- quadrant A --------------------------------------------------
             def A_body(idx, _):
@@ -363,17 +378,43 @@ def _panel_kernel(b, nb, q, D, mode,
             else:
                 Md, ldj = _factor_diag_fast(A, b)
             ldacc[:, :] = ldacc[:, :] + ldj
-            vj = _gemm32(Md, vbuf[dsb(jb, b), :])
-            vbuf[dsb(jb, b), :] = vj
+            # vj (D, b) = v_row·Mdᵀ — f32-ish via the bf16 policy
+            vj = _vrow_gemm(vbuf[:, dsb(jb, b)], Md)
+            vbuf[:, dsb(jb, b)] = vj
             Md_bf = Md.astype(jnp.bfloat16)
 
             # -- panel solve + writeback + forward-solve --------------------
             sfull = (nrem - b - stail) // RC   # exact: divisible by RC
             last = j + 1 >= nb
+
+            def prefetch_next_vrow():
+                # START the next column's j-row ancestor copy: this column's
+                # panel writes are drained by the time this is called, so row
+                # block j+1 (incl. its new column-j block) is readable; the
+                # copy overlaps the switch dispatch + next column's primes,
+                # and column j+1 only WAITS
+                nkfull = (j + 1) // CB
+                nktail = ((c + 1) % CB) * b
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    def nvstart(t, _):
+                        pltpu.make_async_copy(
+                            T_ref.at[dsb((j + 1) * b, b), dsb(t * KC, KC)],
+                            vrow.at[:, dsb(t * KC, KC)], vsem).start()
+                        return 0
+                    lax.fori_loop(0, nkfull, nvstart, 0)
+                    if nktail > 0:
+                        pltpu.make_async_copy(
+                            T_ref.at[dsb((j + 1) * b, b),
+                                     dsb(nkfull * KC, nktail)],
+                            vrow.at[:, dsb(nkfull * KC, nktail)], vsem).start()
+
             if "nosolve" in modes:
                 # slice-timing mode: skip panel solve + writeback + forward
                 # solve entirely (future corrections then read garbage —
                 # values are meaningless, timing isolates the solve phase)
+                prefetch_next_vrow()
                 return 0
 
             # solve spans of 2·RC halve the per-chunk op overhead (one dot +
@@ -394,8 +435,8 @@ def _panel_kernel(b, nb, q, D, mode,
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
-                vbuf[dsb(r0, SR), :] = (
-                    vbuf[dsb(r0, SR), :] - _gemm_bf(Lp, vj))
+                vbuf[:, dsb(r0, SR)] = (
+                    vbuf[:, dsb(r0, SR)] - _vrow_gemm(vj, Lp))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
@@ -432,8 +473,8 @@ def _panel_kernel(b, nb, q, D, mode,
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
-                vbuf[dsb(r0, RC), :] = (
-                    vbuf[dsb(r0, RC), :] - _gemm_bf(Lp, vj))
+                vbuf[:, dsb(r0, RC)] = (
+                    vbuf[:, dsb(r0, RC)] - _vrow_gemm(vj, Lp))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
@@ -452,8 +493,8 @@ def _panel_kernel(b, nb, q, D, mode,
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
-                vbuf[dsb(st0, stail), :] = (
-                    vbuf[dsb(st0, stail), :] - _gemm_bf(Lp, vj))
+                vbuf[:, dsb(st0, stail)] = (
+                    vbuf[:, dsb(st0, stail)] - _vrow_gemm(vj, Lp))
 
                 @pl.when(jnp.logical_not(last))
                 def _():
@@ -464,6 +505,8 @@ def _panel_kernel(b, nb, q, D, mode,
                         wsem.at[0])
                     cp.start()
                     cp.wait()
+
+            prefetch_next_vrow()
             return 0
         return col
 
@@ -474,7 +517,7 @@ def _panel_kernel(b, nb, q, D, mode,
     lax.fori_loop(0, nb, column, 0)
 
     ld_ref[:] = ldacc[:, :]
-    v = vbuf[:]
+    v = vbuf[:, :]
     quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
 
 
@@ -525,7 +568,7 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pltpu.VMEM((4, RC, KC), jnp.bfloat16),    # slab slots
             pltpu.VMEM((b, N), jnp.bfloat16),         # vrow (j-row ancestors)
             pltpu.VMEM((2, 2 * RC, b), jnp.bfloat16),  # panel write staging
-            pltpu.VMEM((N, D), jnp.float32),          # vbuf
+            pltpu.VMEM((D, N), jnp.float32),          # vbuf (row-stored)
             pltpu.VMEM((1, 1), jnp.float32),          # logdet accumulator
             pltpu.SemaphoreType.DMA((4,)),            # slab read sems
             pltpu.SemaphoreType.DMA(()),              # vrow sem
@@ -534,6 +577,6 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(Xs, n2row, m.astype(jnp.float32), var2d, noise2d)
+    )(Xs, n2row, m.astype(jnp.float32).T, var2d, noise2d)
     del T
     return ld[0, 0], quad[0, 0]
