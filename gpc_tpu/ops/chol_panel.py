@@ -276,11 +276,31 @@ def _panel_kernel(b, nb, q, D, mode,
                         return 0
                     lax.fori_loop(0, rfull, gram_body, 0)
 
+            if "grampass" in modes:
+                # A/B toggle: the separate gram prepass + unconditional
+                # subtract chunks (the pre-fusion schedule)
+                @pl.when(j > 0)
+                def _():
+                    def gram_body(t, _):
+                        acc[dsb(t * RC, RC), :] = gram_val(jb + t * RC, RC)
+                        return 0
+                    lax.fori_loop(0, rfull, gram_body, 0)
+                if rtail > 0:
+                    @pl.when(j > 0)
+                    def _():
+                        acc[dsb(rt0 - jb, rtail), :] = gram_val(rt0, rtail)
+
             def sub_chunk(slot, r0, rows, k0, kw):
                 """One correction chunk.  The k0==0 chunk of each row range
                 INITIALIZES acc with the Gram panel minus its dot — fusing
                 the old separate Gram pass into the first correction (saves
                 one full acc write+read pass per column)."""
+                if "grampass" in modes:
+                    acc[dsb(r0 - jb, rows), :] = (
+                        acc[dsb(r0 - jb, rows), :]
+                        - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
+                                  vrow[:, dsb(k0, kw)]))
+                    return
                 first = k0 == 0
                 if "nodot" in modes:
                     @pl.when(first)
@@ -541,7 +561,8 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     noise2d = jnp.reshape(noise.astype(jnp.float32), (1, 1))
     for part in mode.split("+"):
         assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
-                        "nogram", "nosolve", "notail", "zerogram"), part
+                        "nogram", "nosolve", "notail", "zerogram",
+                        "grampass"), part
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(
