@@ -276,9 +276,12 @@ def _panel_kernel(b, nb, q, D, mode,
                         return 0
                     lax.fori_loop(0, rfull, gram_body, 0)
 
-            if "grampass" in modes:
-                # A/B toggle: the separate gram prepass + unconditional
-                # subtract chunks (the pre-fusion schedule)
+            if "fusegram" not in modes:
+                # DEFAULT: separate gram prepass + unconditional subtract
+                # chunks.  The "fused" alternative (gram stored by the k0==0
+                # chunk under pl.when) was measured ~1 ms SLOWER at N=16k —
+                # two predicated stores per chunk cost more than one full
+                # acc pass — and is kept behind mode "fusegram"
                 @pl.when(j > 0)
                 def _():
                     def gram_body(t, _):
@@ -295,7 +298,7 @@ def _panel_kernel(b, nb, q, D, mode,
                 INITIALIZES acc with the Gram panel minus its dot — fusing
                 the old separate Gram pass into the first correction (saves
                 one full acc write+read pass per column)."""
-                if "grampass" in modes:
+                if "fusegram" not in modes:
                     acc[dsb(r0 - jb, rows), :] = (
                         acc[dsb(r0 - jb, rows), :]
                         - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
@@ -562,7 +565,7 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     for part in mode.split("+"):
         assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
                         "nogram", "nosolve", "notail", "zerogram",
-                        "grampass"), part
+                        "fusegram"), part
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(
