@@ -178,15 +178,22 @@ def main():
             print(f"# candidate {name} failed: {type(e).__name__}",
                   file=sys.stderr)
             continue
-        t0 = time.perf_counter()
-        sync(pipe(X, m))
-        raw = time.perf_counter() - t0
+        # min of 3: even same-roofline sessions wobble ±10% run to run
+        # (measured 14.4-15.8 ms for the identical program) — the minimum is
+        # the honest capability number under one-sided noise
+        raws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(pipe(X, m))
+            raws.append(time.perf_counter() - t0)
+        raw = min(raws)
         if raw - rtt <= 0:
             print(f"# candidate {name}: RTT subtraction clamped "
                   f"(raw {raw*1e3:.1f} ms <= rtt {rtt*1e3:.1f} ms)",
                   file=sys.stderr)
         t = max(raw - rtt, 1e-9) / reps
-        print(f"# candidate {name}: {t*1e3:.1f} ms", file=sys.stderr)
+        print(f"# candidate {name}: {t*1e3:.1f} ms (min of 3)",
+              file=sys.stderr)
         results.append((t, name, v))
     results.sort()
 

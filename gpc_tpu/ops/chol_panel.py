@@ -121,10 +121,19 @@ def _cholinv_leaf_fast(A):
     return jnp.where(colmask <= rows_c, M, 0.0)
 
 
-def _factor_diag_fast(A, b):
+def _factor_diag_fast(A, b, prec=None):
     """(L_jj⁻¹, logdet) of a PD b×b block: LEAF-blocked elimination with the
     fast augmented leaves — never materializes L (chol_mega._factor_diag's
-    structure minus the L bookkeeping; logdet = −2 Σ log diag(leaf M))."""
+    structure minus the L bookkeeping; logdet = −2 Σ log diag(leaf M)).
+    prec overrides the assembly-GEMM precision (HIGHEST default; DEFAULT =
+    fewer MXU passes, mode "leafdef")."""
+    if prec is None:
+        gemm = _gemm32
+    else:
+        def gemm(a, bm, dims=(((1,), (0,)), ((), ()))):
+            return lax.dot_general(a, bm, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
     nb = b // LEAF
     Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
            for j in range(nb)] for i in range(nb)]
@@ -136,17 +145,17 @@ def _factor_diag_fast(A, b):
         Ms[p][p] = Mp
         ld = ld - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Mp)))
         for i in range(p + 1, nb):
-            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
+            Ls[i][p] = gemm(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
         for i in range(p + 1, nb):
             for j in range(p + 1, i + 1):
-                Ab[i][j] = Ab[i][j] - _gemm32(
+                Ab[i][j] = Ab[i][j] - gemm(
                     Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
     for j in range(nb):
         for i in range(j + 1, nb):
-            acc = _gemm32(Ls[i][j], Ms[j][j])
+            acc = gemm(Ls[i][j], Ms[j][j])
             for k in range(j + 1, i):
-                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
-            Ms[i][j] = -_gemm32(Ms[i][i], acc)
+                acc = acc + gemm(Ls[i][k], Ms[k][j])
+            Ms[i][j] = -gemm(Ms[i][i], acc)
     zero = jnp.zeros((LEAF, LEAF), A.dtype)
     M = jnp.concatenate([
         jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
@@ -399,7 +408,9 @@ def _panel_kernel(b, nb, q, D, mode,
                 Ld, Md = _factor_diag(A, b)
                 ldj = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ld)))
             else:
-                Md, ldj = _factor_diag_fast(A, b)
+                Md, ldj = _factor_diag_fast(
+                    A, b, prec=(lax.Precision.DEFAULT
+                                if "leafdef" in modes else None))
             ldacc[:, :] = ldacc[:, :] + ldj
             # vj (D, b) = v_row·Mdᵀ — f32-ish via the bf16 policy
             vj = _vrow_gemm(vbuf[:, dsb(jb, b)], Md)
@@ -565,7 +576,7 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     for part in mode.split("+"):
         assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
                         "nogram", "nosolve", "notail", "zerogram",
-                        "fusegram"), part
+                        "fusegram", "leafdef"), part
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
     T, ld, quad = pl.pallas_call(
