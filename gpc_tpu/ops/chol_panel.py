@@ -36,14 +36,16 @@ L[(j+1)b:, jb:(j+1)b].  Corrections contract the k axis directly
 (slab · j-rowᵀ), so no transposed storage and no reshape games (the v2
 Mosaic-fragility source).
 
-Per column j:
+Per column j (its j-row ancestor copy was STARTED at the end of column j−1,
+so it only waits here):
 
-  wait previous column's panel writeback; DMA j-row → vrow
+  prime slab streams; wait vrow
   acc[r] = var·exp(−d2(r, j))                  (panel Gram fill, chunked)
   acc[r] −= slab·vrowᵀ                         (quadrant dots, bf16/f32)
-  A_d = acc[diag] + noise·I;  (L_jj, L_jj⁻¹) = in-VMEM blocked leaf
-  logdet += 2Σ log diag;  v_j = L_jj⁻¹·v[jb:(j+1)b]
-  per solve chunk: Lp = acc·L_jj⁻ᵀ;  v −= Lp·v_j;  stage → writeback DMA
+  A_d = acc[diag] + noise·I;  L_jj⁻¹ + logdet = in-VMEM fast-sweep leaves
+  v_j = v_row·L_jj⁻ᵀ        (forward-solve state is row-stored (D, N))
+  per 2·RC solve span: Lp = acc·L_jj⁻ᵀ;  v −= v_j·Lpᵀ;  stage → writeback
+  start column j+1's vrow copy
 
 Replaces (TPU-first) the dpotrf/dtrsv hot block of CGp::logLikelihood
 (/root/reference/CGp.cpp:920-937, CMatrix.cpp:371-412).  Forward-only: the
@@ -562,7 +564,9 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for K = rbf-Gram(X) + noise·I — one kernel,
     v3 panel schedule.  N must be a multiple of CB·b (= 4b).  bf16-input/
     f32-accum Schur+panel GEMMs (the bench policy); leaves f32.
-    Slice-timing modes: fakeleaf | nodot | nodma | nogram."""
+    Slice-timing / A-B modes (composable with "+"): fakeleaf | oldleaf |
+    nodot | nodma | nogram | nosolve | notail | zerogram | fusegram |
+    leafdef."""
     N, q = X.shape
     D = m.shape[1]
     nb = N // b
