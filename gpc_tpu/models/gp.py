@@ -150,6 +150,12 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
             from gpc_tpu.ops.iterative import kern_evidence_iterative
             logdetK, quad = kern_evidence_iterative(spec.kern, kp,
                                                     jnp.asarray(X), m)
+        elif mode == "panel":
+            # the Pallas panel mega-kernel as a product engine: bias/white
+            # Sherman-Morrison split + ragged-N padding (ops/panel_engine.py)
+            from gpc_tpu.ops.panel_engine import kern_evidence_panel
+            logdetK, quad = kern_evidence_panel(spec.kern, kp,
+                                                jnp.asarray(X), m)
         else:
             K = spec.kern.gram(kp, X)
             logdetK, quad, _L = linalg.evidence_terms(K, m)

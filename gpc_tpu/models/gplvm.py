@@ -166,6 +166,12 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
         from gpc_tpu.ops.iterative import kern_evidence_iterative
         logdet, quad = kern_evidence_iterative(spec.kern, kp, X, m)
         Lacc = quad + D * logdet
+    elif mode == "panel":
+        # the Pallas panel mega-kernel engine (ops/panel_engine.py) — X̄
+        # flows through its custom VJP, so GP-LVM objectives differentiate
+        from gpc_tpu.ops.panel_engine import kern_evidence_panel
+        logdet, quad = kern_evidence_panel(spec.kern, kp, X, m)
+        Lacc = quad + D * logdet
     else:
         K = spec.kern.gram(kp, X)
         L_K, _ = linalg.jitchol(K)

@@ -186,10 +186,11 @@ def _dot_kk(a, b):
                            precision=lax.Precision.DEFAULT)
 
 
-def _panel_kernel(b, nb, q, D, mode,
+def _panel_kernel(b, nb, q, D, nv, mode,
                   xs_ref, n2row_ref, m_ref, var_ref, noise_ref,
-                  T_ref, ld_ref, quad_ref,
-                  acc, slab, vrow, stage, vbuf, ldacc, rsem, vsem, wsem):
+                  T_ref, ld_ref, quad_ref, v_ref,
+                  acc, slab, vrow, stage, vbuf, ldacc, dstage,
+                  rsem, vsem, wsem, dsem):
     N = nb * b
     RC = KC = CB * b
 
@@ -276,6 +277,14 @@ def _panel_kernel(b, nb, q, D, mode,
                 g = var * d2 if "nogram" in modes else var * jnp.exp(-d2)
                 if "zerogram" in modes:   # isolate the whole gram-fill cost
                     g = jnp.full((rows, b), var, jnp.float32)
+                if nv < N:
+                    # ragged-N padding: rows/cols ≥ nv carry NO kernel mass —
+                    # the pad block factors as √noise·I (its logdet correction
+                    # is analytic at the caller).  Static gate: the bench
+                    # geometry (nv == N) compiles to the identical program.
+                    ri = r0 + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+                    cj = jb + lax.broadcasted_iota(jnp.int32, (1, b), 1)
+                    g = jnp.where((ri < nv) & (cj < nv), g, 0.0)
                 return g
 
             # column j = 0 has no correction chunks: fill acc directly
@@ -310,10 +319,11 @@ def _panel_kernel(b, nb, q, D, mode,
                 the old separate Gram pass into the first correction (saves
                 one full acc write+read pass per column)."""
                 if "fusegram" not in modes:
-                    acc[dsb(r0 - jb, rows), :] = (
-                        acc[dsb(r0 - jb, rows), :]
-                        - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
-                                  vrow[:, dsb(k0, kw)]))
+                    if "nodot" not in modes:   # nodot: skip the subtract in
+                        acc[dsb(r0 - jb, rows), :] = (   # this branch too
+                            acc[dsb(r0 - jb, rows), :]
+                            - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
+                                      vrow[:, dsb(k0, kw)]))
                     return
                 first = k0 == 0
                 if "nodot" in modes:
@@ -418,6 +428,17 @@ def _panel_kernel(b, nb, q, D, mode,
             vj = _vrow_gemm(vbuf[:, dsb(jb, b)], Md)
             vbuf[:, dsb(jb, b)] = vj
             Md_bf = Md.astype(jnp.bfloat16)
+            if "diag" in modes:
+                # product-engine residual: store L_jj⁻¹ into T's diagonal
+                # block (the leaves never materialize L_jj itself) so the
+                # analytic custom-VJP backward can reconstruct L⁻¹
+                # (ops/panel_engine).  Off the product path (the bench) the
+                # diag blocks stay unwritten and unread.
+                dstage[:, :] = Md_bf
+                dcp = pltpu.make_async_copy(
+                    dstage.at[:, :], T_ref.at[dsb(jb, b), dsb(jb, b)], dsem)
+                dcp.start()
+                dcp.wait()
 
             # -- panel solve + writeback + forward-solve --------------------
             sfull = (nrem - b - stail) // RC   # exact: divisible by RC
@@ -554,23 +575,33 @@ def _panel_kernel(b, nb, q, D, mode,
 
     ld_ref[:] = ldacc[:, :]
     v = vbuf[:, :]
-    quad_ref[:] = jnp.sum(v * v, axis=(0, 1), keepdims=True)[:, :]
+    # full RHS Gram G = v·vᵀ (D, D): diag entries are the per-column quad
+    # forms mⱼᵀK⁻¹mⱼ; off-diagonals serve the rank-1 bias/white
+    # Sherman-Morrison split (ops/panel_engine.py) from the SAME solve
+    quad_ref[:, :] = lax.dot_general(v, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=lax.Precision.HIGHEST)
+    v_ref[:, :] = v
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("b", "interpret", "mode"))
-def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
-                       interpret: bool = False, mode: str = "full"):
-    """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for K = rbf-Gram(X) + noise·I — one kernel,
-    v3 panel schedule.  N must be a multiple of CB·b (= 4b).  bf16-input/
-    f32-accum Schur+panel GEMMs (the bench policy); leaves f32.
-    Slice-timing / A-B modes (composable with "+"): fakeleaf | oldleaf |
-    nodot | nodma | nogram | nosolve | notail | zerogram | fusegram |
-    leafdef."""
+                   static_argnames=("b", "interpret", "mode", "n_valid"))
+def panel_state_rbf(X, m, inv_width, variance, noise, b: int = 512,
+                    interpret: bool = False, mode: str = "full",
+                    n_valid: int = 0):
+    """Full panel-kernel state for K = rbf-Gram(X) + noise·I: returns
+    (logdet, G, v, L) where G = vᵀKv-Gram of the RHS columns ((D, D) f32,
+    G[i, j] = mᵢᵀK⁻¹mⱼ), v = L⁻¹m row-stored ((D, N) f32), and L the bf16
+    (N, N) factor buffer.  `n_valid` < N masks rows/cols ≥ n_valid out of
+    the Gram so pad rows factor as √noise·I (the caller corrects logdet by
+    (N − n_valid)·log noise); 0 means N.  This is the product-engine entry
+    (ops/panel_engine.py) — L and v feed the analytic reverse sweeps."""
     N, q = X.shape
     D = m.shape[1]
+    nv = n_valid if n_valid else N
     nb = N // b
     assert N % b == 0 and nb % CB == 0 and nb >= CB
+    assert 0 < nv <= N
     RC = KC = CB * b
     Xs = (X * jnp.sqrt(0.5 * inv_width)).astype(jnp.float32)
     n2 = jnp.sum(Xs * Xs, axis=1, keepdims=True)
@@ -580,15 +611,16 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
     for part in mode.split("+"):
         assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
                         "nogram", "nosolve", "notail", "zerogram",
-                        "fusegram", "leafdef"), part
+                        "fusegram", "leafdef", "diag"), part
 
-    kern = functools.partial(_panel_kernel, b, nb, q, D, mode)
-    T, ld, quad = pl.pallas_call(
+    kern = functools.partial(_panel_kernel, b, nb, q, D, nv, mode)
+    T, ld, G, v = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((N, N), jnp.bfloat16),   # L (lower panels)
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),    # RHS Gram vᵀv
+            jax.ShapeDtypeStruct((D, N), jnp.float32),    # v = L⁻¹m
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Xs
@@ -601,6 +633,7 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((N, b), jnp.float32),          # acc (panel)
@@ -609,13 +642,29 @@ def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pltpu.VMEM((2, 2 * RC, b), jnp.bfloat16),  # panel write staging
             pltpu.VMEM((D, N), jnp.float32),          # vbuf (row-stored)
             pltpu.VMEM((1, 1), jnp.float32),          # logdet accumulator
+            pltpu.VMEM((b, b), jnp.bfloat16),         # diag-block staging
             pltpu.SemaphoreType.DMA((4,)),            # slab read sems
             pltpu.SemaphoreType.DMA(()),              # vrow sem
             pltpu.SemaphoreType.DMA((2,)),            # write sems
+            pltpu.SemaphoreType.DMA(()),              # diag write sem
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
     )(Xs, n2row, m.astype(jnp.float32).T, var2d, noise2d)
-    del T
-    return ld[0, 0], quad[0, 0]
+    return ld[0, 0], G, v, T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "interpret", "mode"))
+def evidence_panel_rbf(X, m, inv_width, variance, noise, b: int = 512,
+                       interpret: bool = False, mode: str = "full"):
+    """(logdet K, Σⱼ mⱼᵀK⁻¹mⱼ) for K = rbf-Gram(X) + noise·I — one kernel,
+    v3 panel schedule.  N must be a multiple of CB·b (= 4b).  bf16-input/
+    f32-accum Schur+panel GEMMs (the bench policy); leaves f32.
+    Slice-timing / A-B modes (composable with "+"): fakeleaf | oldleaf |
+    nodot | nodma | nogram | nosolve | notail | zerogram | fusegram |
+    leafdef."""
+    ld, G, _v, _T = panel_state_rbf(X, m, inv_width, variance, noise, b=b,
+                                    interpret=interpret, mode=mode)
+    return ld, jnp.trace(G)

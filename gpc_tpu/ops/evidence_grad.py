@@ -182,19 +182,32 @@ def evidence_splits(n: int) -> bool:
 
 def evidence_mode(default: str = "dense") -> str:
     """Explicit evidence-path selection — GPC_TPU_EVIDENCE = dense | lazy |
-    fastgrad | iterative.  `dense` (default): jitchol escalation, the parity
-    route.  `lazy`: f32-HIGH fused lazy factorization (differentiable via
-    autodiff).  `fastgrad`: bf16 fused forward + this module's custom VJP.
-    `iterative`: matrix-free CG quad + SLQ logdet (ops/iterative.py) — never
-    materializes K, trains past dense-HBM N.  Callers should resolve the
-    engine through `select_evidence_mode(n)`, which handles the shape
-    fallback and the backend-aware default."""
+    panel | iterative (+ legacy fastgrad).  `dense` (default): jitchol
+    escalation, the parity route.  `lazy`: f32-HIGH fused lazy factorization
+    (differentiable via autodiff) — the measured TRAINING fast path.
+    `panel`: the Pallas panel mega-kernel (ops/panel_engine.py) — the
+    measured FORWARD-evidence fast path (bf16 factor; analytic custom-VJP
+    backward at explicit-K⁻¹ cost).  `iterative`: matrix-free CG quad + SLQ
+    logdet (ops/iterative.py) — never materializes K, trains past dense-HBM
+    N.  `fastgrad`: bf16 fused forward + this module's custom VJP (kept for
+    non-differentiable-forward experiments; loses to lazy for training).
+    Callers should resolve the engine through `select_evidence_mode(n)`,
+    which handles the shape fallback and the backend-aware default."""
     import os
     v = os.environ.get("GPC_TPU_EVIDENCE", default).lower()
-    if v not in ("dense", "lazy", "fastgrad", "iterative"):
+    if v not in ("dense", "lazy", "fastgrad", "iterative", "panel"):
         raise ValueError(
-            f"GPC_TPU_EVIDENCE={v!r} (want dense|lazy|fastgrad|iterative)")
+            f"GPC_TPU_EVIDENCE={v!r} "
+            f"(want dense|lazy|panel|iterative|fastgrad)")
     return v
+
+
+# Largest N where the dense route's single N-wide triangular solve is known
+# safe on the TPU compile helper (it crashes at N≳16k — CLAUDE.md round 3).
+# Below this, `dense` is the UNIVERSAL unset-flag default on every backend —
+# N=4096 and N=4100 run the same engine out of the box; the backend-aware
+# auto-`lazy` kicks in only past it, where dense is not a viable default.
+DENSE_SAFE_N = 8192
 
 
 def select_evidence_mode(n: int) -> str:
@@ -202,13 +215,16 @@ def select_evidence_mode(n: int) -> str:
     models/gplvm.py call this).  An explicit GPC_TPU_EVIDENCE always wins —
     with a visible warning + dense fallback when the fused engines' shape
     requirement (n splits into `evidence_base()` blocks) is unmet.  When the
-    flag is UNSET the default is backend-aware: on a non-CPU backend a
-    splitting n defaults to `lazy` (the dense route's N-wide triangular solve
-    crashes the TPU compile helper at N≳16k, and lazy is the measured training
-    fast path — BASELINE.md round 3); everywhere else `dense` (the f64 parity
-    route).  `iterative` (matrix-free CG+SLQ, ops/iterative.py) has no split
-    requirement and is never auto-selected — its logdet is a stochastic
-    estimate, so it is opt-in only."""
+    flag is UNSET the default is `dense` (jitchol-escalation parity route)
+    everywhere up to DENSE_SAFE_N; only past that, on a non-CPU backend with
+    a splitting n, does it default to `lazy` (the dense route's N-wide
+    triangular solve crashes the TPU compile helper at N≳16k, and lazy is
+    the measured training fast path — BASELINE.md round 3).  Note lazy's
+    failure semantics differ: transiently non-PD K yields a NaN objective
+    (SCG step rejection) instead of dense's jitter re-escalation.
+    `iterative`/`panel` have no split requirement and are never
+    auto-selected — opt-in only (stochastic logdet / forward-optimized
+    engine respectively)."""
     import os
     import warnings
 
@@ -223,7 +239,8 @@ def select_evidence_mode(n: int) -> str:
         return "dense"
     if explicit is None and mode == "dense":
         import jax as _jax
-        if _jax.default_backend() != "cpu" and evidence_splits(n):
+        if (n > DENSE_SAFE_N and _jax.default_backend() != "cpu"
+                and evidence_splits(n)):
             return "lazy"
     return mode
 

@@ -211,7 +211,11 @@ def scg_checkpointed(value_and_grad_fn: Callable, x0, max_iters: int = 1000,
 
     state_dict maps the _State fields to arrays (w/r/p/s/delta/old_obj/lam/
     lam_bar/success/iter/converged) — numpy-serializable as-is
-    (utils/checkpoint.save handles it)."""
+    (utils/checkpoint.save handles it).
+
+    Like scg(), obj_tol is accepted for signature parity only: the
+    reference's objective test is vacuous (module docstring), and the
+    checkpointed segments run the identical iteration body."""
     args = tuple(jnp.asarray(a) for a in args)
     if resume_state is None:
         state = _scg_init(value_and_grad_fn, jnp.asarray(x0), args)
