@@ -178,23 +178,28 @@ def main():
             print(f"# candidate {name} failed: {type(e).__name__}",
                   file=sys.stderr)
             continue
-        # min of 3: even same-roofline sessions wobble ±10% run to run
-        # (measured 14.4-15.8 ms for the identical program) — the minimum is
-        # the honest capability number under one-sided noise
+        # 3 samples: even same-roofline sessions wobble ±10% run to run
+        # (measured 14.4-15.8 ms for the identical program).  The minimum is
+        # the capability number under one-sided noise; the MEDIAN is emitted
+        # alongside (VERDICT r4 weak #2: min-of-3 on top of min-of-8 RTT
+        # stacks two one-sided minima — report both so the record carries
+        # the conservative read too)
         raws = []
         for _ in range(3):
             t0 = time.perf_counter()
             sync(pipe(X, m))
             raws.append(time.perf_counter() - t0)
         raw = min(raws)
+        raw_med = sorted(raws)[1]
         if raw - rtt <= 0:
             print(f"# candidate {name}: RTT subtraction clamped "
                   f"(raw {raw*1e3:.1f} ms <= rtt {rtt*1e3:.1f} ms)",
                   file=sys.stderr)
         t = max(raw - rtt, 1e-9) / reps
-        print(f"# candidate {name}: {t*1e3:.1f} ms (min of 3)",
-              file=sys.stderr)
-        results.append((t, name, v))
+        t_med = max(raw_med - rtt, 1e-9) / reps
+        print(f"# candidate {name}: {t*1e3:.1f} ms (min of 3), "
+              f"{t_med*1e3:.1f} ms (median of 3)", file=sys.stderr)
+        results.append((t, name, v, t_med))
     results.sort()
 
     # accuracy gate: the mixed-precision value must agree with the f32-HIGH
@@ -210,11 +215,11 @@ def main():
                                   stack=True))
             return quad + ld
         ref = sync(check(X, m))
-        t_pipe, rel = None, None
-        for t, name, v in results:
+        t_pipe, rel, t_pipe_med = None, None, None
+        for t, name, v, t_med in results:
             r = abs(v / reps - ref) / abs(ref)
             if r < 1e-2:
-                t_pipe, rel = t, r
+                t_pipe, rel, t_pipe_med = t, r, t_med
                 print(f"# winner {name} (drift {r:.1e})", file=sys.stderr)
                 break
             print(f"# candidate {name} REJECTED: drift {r:.2e}",
@@ -222,7 +227,17 @@ def main():
         assert t_pipe is not None, "no candidate within 1e-2 of f32-HIGH"
     else:
         assert results, "no candidate compiled"
-        t_pipe, rel = results[0][0], 0.0
+        t_pipe, rel, t_pipe_med = results[0][0], 0.0, results[0][3]
+
+    # same-session panel/flat ratio: roofline-INDEPENDENT kernel-race metric
+    # (it decided the round-4 winner at 11-13% regardless of session draw) —
+    # tracked so the kernel claim never rests on a lucky roofline
+    # denominator (VERDICT r4 ask #3)
+    times_by_name = {name: t for t, name, _v, _tm in results}
+    panel_vs_flat = None
+    if "panel-b512" in times_by_name and "flat-b512" in times_by_name:
+        panel_vs_flat = round(
+            times_by_name["panel-b512"] / times_by_name["flat-b512"], 4)
 
     # ---- secondary tracked metrics (regression surface, VERDICT r2 #6) ----
     # vs_baseline anchors are the round-3 healthy-session measurements
@@ -381,12 +396,17 @@ def main():
     # task-throughput figure, not a hardware-utilization counter.
     flops = 2.0 * N * N * q + N ** 3 / 3.0 + 2.0 * N * N * D
     gflops = flops / t_pipe / 1e9
+    gflops_med = flops / t_pipe_med / 1e9
     target = 0.8 * roofline_gflops
     result = {
         "metric": f"gram_chol_evidence_gflops_n{N}_{backend}",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / target, 4),
+        "vs_baseline_median": round(gflops_med / target, 4),
+        "t_ms_min": round(t_pipe * 1e3, 2),
+        "t_ms_median": round(t_pipe_med * 1e3, 2),
+        "panel_vs_flat_ratio": panel_vs_flat,
     }
     print(json.dumps(result))
     print(f"# backend={backend} N={N} t_pipeline={t_pipe*1e3:.1f}ms "

@@ -179,10 +179,24 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
 
     if spec.has_dynamics:
         Xout = _xout(spec, X)
-        dynK = _dyn_gram(spec, dp, X)
-        L_d, _ = linalg.jitchol(dynK)
         s = spec.dynamic_scaling
-        Lacc = Lacc + s * (linalg.quad_form(L_d, Xout) + q * linalg.chol_logdet(L_d))
+        if mode == "iterative":
+            # GPDM past dense memory: the dynamics Gram is the same
+            # knocked-out-rows operator as _dyn_gram, expressed matrix-free
+            # as mask·dynK·mask + (I−mask) — break rows have eigenvalue 1
+            # (0 logdet) and Xout is zero there, so the masked CG+SLQ
+            # estimator matches the dense term (ops/iterative.py; closes
+            # the round-4 silent dense-dynK exception to the N=65k story)
+            from gpc_tpu.ops.iterative import kern_evidence_iterative_masked
+            mask = jnp.ones((N,), X.dtype).at[spec.break_rows()].set(0.0)
+            ld_d, quad_d = kern_evidence_iterative_masked(
+                spec.dyn_kern, dp, X, Xout, mask)
+            Lacc = Lacc + s * (quad_d + q * ld_d)
+        else:
+            dynK = _dyn_gram(spec, dp, X)
+            L_d, _ = linalg.jitchol(dynK)
+            Lacc = Lacc + s * (linalg.quad_form(L_d, Xout)
+                               + q * linalg.chol_logdet(L_d))
         if spec.latent_regularised:
             # reference regularises norm2Col(0) here (CGplvm.cpp:530-534)
             Lacc = Lacc + jnp.sum(X[:, 0] ** 2)
