@@ -25,7 +25,8 @@ def _help():
           "Learn options: -o classification|regression|ncnm  -a active-set-size\n"
           "  -k kernel -g gamma -v variance -w weight -b bias -d degree -i input-select\n"
           "  -# kernel-iters (100) -n noise-iters (20) -e external-iters (4)\n"
-          "  -l labelled-indices-file  -O optimiser")
+          "  -l labelled-indices-file  -O optimiser\n"
+          "  -c ckpt-file [-r resume]  phase-boundary preemption checkpoints")
 
 
 def _select_noise(cl, y, out_type, labelled_idx):
@@ -65,11 +66,19 @@ def learn(cl: CommandLine):
     active = -1
     labelled_file = None
     model_file = "ivm_model"
+    ckpt_path, resume = None, False
     while cl.is_flag():
         arg = cl.current()
         if arg in ("-?", "-h", "--help"):
             _help()
             return
+        elif arg in ("-c", "--checkpoint"):
+            # phase-boundary preemption checkpoints (models/ivm.optimise) —
+            # the IVM alternation is the longest tutorial workload and the
+            # reference restarts it from scratch (CIvm.cpp:685-736)
+            ckpt_path = cl.get_string(); cl.advance()
+        elif arg in ("-r", "--resume"):
+            resume = True; cl.advance()
         elif arg in ("-l", "--labelled-indices-file"):
             labelled_file = cl.get_string(); cl.advance()
         elif arg in ("-o", "--output-type"):
@@ -128,7 +137,8 @@ def learn(cl: CommandLine):
 
     model = IVM(kern, noise, X, y, num_active=active, seed=cl.seed,
                 kern_params=kern_params)
-    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters, verbose=cl.verbosity)
+    model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters, verbose=cl.verbosity,
+                   ckpt_path=ckpt_path, resume=resume)
     if cl.verbosity > 0:
         print(model.display())
     comment = "Run as: " + " ".join(sys.argv) + " "

@@ -87,6 +87,23 @@ class RefRng:
         self._stored_randn = x1 * w
         return x2 * w
 
+    def get_state(self):
+        """Serializable full generator state (mt vector, cursor, Box-Muller
+        spare) — checkpoint/resume must capture it so a resumed run consumes
+        the IDENTICAL stream the uninterrupted run would have (the reference
+        has one process-global MT19937; models/ivm.py checkpoints this)."""
+        import numpy as np
+        stored = (float("nan") if self._stored_randn is None
+                  else float(self._stored_randn))
+        return (np.asarray(self.mt, dtype=np.uint64), int(self.mti), stored)
+
+    def set_state(self, mt, mti: int, stored_randn: float):
+        import math as _math
+        self.mt = [int(v) for v in mt]
+        self.mti = int(mti)
+        self._stored_randn = (None if _math.isnan(stored_randn)
+                              else float(stored_randn))
+
     def randperm_trunc(self, max_val: int, length: int) -> List[int]:
         """First `length` entries of a random permutation of range(max_val),
         by the reference's draw-and-erase scheme (ndlutil.cpp:199-215)."""
