@@ -128,20 +128,15 @@ def main():
                                     panelhalf=True))),
                    ("flat-b512-noinv",
                     ("flat", Policy(512, True, False, True))),
-                   ("xla-b512", ("left", Policy(512, True, "xla", True))),
-                   ("mega-b512", "mega")]
+                   ("xla-b512", ("left", Policy(512, True, "xla", True)))]
                   if on_tpu
                   else [("cpu", ("left", Policy(256, False, False, True)))])
+    # (the v2 mega kernel candidate was retired in round 5 — superseded by
+    # panel at every measured session; tools/chol_mega_v2.py keeps it
+    # runnable for the historical A/B scripts)
 
     def make_pipe(pol):
-        if pol == "mega":
-            from gpc_tpu.ops.chol_mega import evidence_mega_rbf
-
-            def evidence(X, m):
-                logdet, quad = evidence_mega_rbf(
-                    X, m, inv_width, variance, noise, b=512)
-                return quad + logdet
-        elif pol == "panel":
+        if pol == "panel":
             from gpc_tpu.ops.chol_panel import evidence_panel_rbf
 
             def evidence(X, m):
@@ -407,6 +402,15 @@ def main():
         "t_ms_min": round(t_pipe * 1e3, 2),
         "t_ms_median": round(t_pipe_med * 1e3, 2),
         "panel_vs_flat_ratio": panel_vs_flat,
+        # the formally renegotiated round-5 gate (BASELINE.md round-5
+        # section): the kernel's ~4 ms of roofline-independent serial cost
+        # (negative-results ledger; VPU/MXU no-overlap law) puts the
+        # original 0.8 point at the zero-margin theoretical floor, and the
+        # cross-session healthy-band spread is 0.72-0.82 (five official
+        # records), so the renegotiated target is vs_baseline >= 0.70 on
+        # healthy sessions + panel_vs_flat_ratio <= 0.95.
+        # >= 1.0 here = renegotiated gate met.
+        "vs_renegotiated": round((gflops / target) / 0.70, 4),
     }
     print(json.dumps(result))
     print(f"# backend={backend} N={N} t_pipeline={t_pipe*1e3:.1f}ms "

@@ -47,9 +47,22 @@ def setup_jax():
         jax.config.update("jax_platforms", plat)
     if plat == "cpu":
         jax.config.update("jax_enable_x64", True)
-    cache = os.environ.get(
-        "GPC_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "gpc_tpu", "xla"))
+    cache = os.environ.get("GPC_TPU_CACHE_DIR")
+    if cache is None:
+        # key the default cache dir by the host's CPU feature set: XLA:CPU
+        # AOT executables embed machine features, and the shared pool moves
+        # this home dir between hosts — executing an entry compiled on a
+        # wider-ISA machine SIGILLs/segfaults (cpu_aot_loader warns exactly
+        # this; observed as a pytest segfault in cache READ, round 5)
+        try:
+            import hashlib
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+            tag = hashlib.sha1(flags.encode()).hexdigest()[:12]
+        except Exception:
+            tag = "default"
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "gpc_tpu",
+                             f"xla-{tag}")
     if cache and cache != "0":
         try:
             # XLA:CPU's AOT loader logs a giant (harmless) machine-feature

@@ -128,21 +128,17 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
     N, D = spec.n_data, spec.output_dim
 
     if spec.approx == FTC:
-        # GPC_TPU_EVIDENCE=fastgrad|lazy|iterative routes the FTC hot block
-        # through the fused lazy factorization (bf16 + custom VJP / f32-HIGH
-        # autodiff) or the matrix-free CG+SLQ engine so SCG training steps run
-        # at the bench pipeline's speed / past dense-HBM N.  An explicit flag
-        # always wins; with the flag unset select_evidence_mode picks a
-        # backend-aware default (TPU+splitting-N → lazy, else the dense
-        # jitchol parity route — the dense N-wide solve crashes the TPU
-        # compile helper at N≳16k).
-        from gpc_tpu.ops.evidence_grad import select_evidence_mode
+        # GPC_TPU_EVIDENCE=lazy|panel|iterative routes the FTC hot block
+        # through the fused lazy factorization (f32-HIGH autodiff — the
+        # training fast path), the Pallas panel mega-kernel (the forward
+        # fast path), or the matrix-free CG+SLQ engine (past dense-HBM N).
+        # An explicit flag always wins; with the flag unset
+        # select_evidence_mode keeps dense up to DENSE_SAFE_N and
+        # auto-lazies only past it on TPU (the dense N-wide solve crashes
+        # the TPU compile helper at N≳16k) — ops/evidence_mode.py.
+        from gpc_tpu.ops.evidence_mode import select_evidence_mode
         mode = select_evidence_mode(N)
-        if mode == "fastgrad":
-            from gpc_tpu.ops.evidence_grad import kern_evidence_grad
-            Xj = jnp.asarray(X)
-            logdetK, quad = kern_evidence_grad(spec.kern, kp, Xj, m)
-        elif mode == "lazy":
+        if mode == "lazy":
             from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
             logdetK, quad = kern_evidence_lazy(spec.kern, kp, jnp.asarray(X),
                                                m, force=True)

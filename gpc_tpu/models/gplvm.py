@@ -136,27 +136,22 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     N, D, q = spec.n_data, spec.data_dim, spec.latent_dim
 
     # Large-N fast paths (the reference GP-LVM stops at ~1k points,
-    # README.md:412-414): GPC_TPU_EVIDENCE selects the evidence engine; an
-    # explicit flag always wins, and with the flag unset select_evidence_mode
-    # picks a backend-aware default (TPU + splitting N → lazy; CPU → dense —
-    # the dense N-wide solve crashes the TPU compile helper at N≳16k):
+    # README.md:412-414): GPC_TPU_EVIDENCE selects the evidence engine
+    # (ops/evidence_mode.py); an explicit flag always wins, and with the
+    # flag unset select_evidence_mode keeps dense up to DENSE_SAFE_N and
+    # auto-lazies only past it on TPU:
     #   dense     — jitchol escalation, the CPU/parity route;
     #   lazy      — Gram tiles fused into the blocked factorization
     #               (ops/lazy_evidence), differentiable via autodiff;
-    #   fastgrad  — bf16 fused forward + analytic custom VJP
-    #               (ops/evidence_grad);
+    #   panel     — the Pallas panel mega-kernel (ops/panel_engine);
     #   iterative — matrix-free CG + SLQ (ops/iterative.py), opt-in only.
-    # On the lazy/fastgrad paths a transiently non-PD K yields a NaN
-    # objective, which SCG rejects as a failed step (λ growth — optim/scg.py
-    # NaN handling) instead of re-jittering (tests/test_evidence_grad.py
-    # pins that rescue behavior).
-    from gpc_tpu.ops.evidence_grad import select_evidence_mode
+    # On the lazy path a transiently non-PD K yields a NaN objective, which
+    # SCG rejects as a failed step (λ growth — optim/scg.py NaN handling)
+    # instead of re-jittering (tests/test_evidence_mode.py pins that
+    # rescue behavior).
+    from gpc_tpu.ops.evidence_mode import select_evidence_mode
     mode = select_evidence_mode(N)
-    if mode == "fastgrad":
-        from gpc_tpu.ops.evidence_grad import kern_evidence_grad
-        logdet, quad = kern_evidence_grad(spec.kern, kp, X, m)
-        Lacc = quad + D * logdet
-    elif mode == "lazy":
+    if mode == "lazy":
         from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
         logdet, quad = kern_evidence_lazy(spec.kern, kp, X, m, force=True)
         Lacc = quad + D * logdet

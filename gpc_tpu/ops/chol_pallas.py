@@ -191,7 +191,7 @@ def chol_inv_block(A, interpret: bool = False):
 
 
 def _chol_inv_fused_kernel(n, a_ref, l_ref, m_ref):
-    from gpc_tpu.ops.chol_mega import _cholinv_leaf, _factor_diag
+    from gpc_tpu.ops.chol_panel import _cholinv_leaf, _factor_diag
     if n == 128:
         L, M = _cholinv_leaf(a_ref[:])
     else:

@@ -4,7 +4,7 @@ in ONE kernel.
 Round-3 attribution (BASELINE.md): the XLA flat schedule runs the
 correction+panel dots at the compute-bound floor (9.1 ms at N=16k) but pays
 4.7 ms for the SERIAL leaf chain and 2.7 ms misc; the v2 Pallas mega kernel
-(ops/chol_mega.py) hides the leaves (FAKELEAF ≡ normal, measured) but loses
+(tools/chol_mega_v2.py) hides the leaves (FAKELEAF ≡ normal, measured) but loses
 ~8 ms to per-block-row op overhead — its Schur work is 496 row iterations of
 ~10 small Mosaic ops each.  This kernel keeps BOTH wins: per column j the
 Schur correction is a handful of LARGE chunked GEMMs against a flat
@@ -67,11 +67,94 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-from gpc_tpu.ops.chol_mega import _factor_diag, _gemm32
-
 CB = 4  # chunk size in b-blocks: RC = KC = CB·b; nb must divide by CB
 LEAF = 128
 _UNROLL = 16
+_UNROLL_OLD = 8   # the v2 masked sweep's unroll (kept for A/B stability)
+
+
+def _gemm32(a, b, dims=(((1,), (0,)), ((), ()))):
+    """Small f32 GEMM at HIGHEST (Mosaic rejects inherited HIGH)."""
+    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+
+def _cholinv_leaf(A):
+    """(L, L⁻¹) of one PD LEAF×LEAF f32 block, single MASKED column sweep —
+    the v2 (chol_mega) leaf, kept as the mode="oldleaf" A/B reference and
+    for ops/chol_pallas's fused (L, L⁻¹) op.  ~23 ops/column vs the fast
+    augmented sweep's ~13 (see _cholinv_leaf_fast; measured 54.3 vs 5.7 µs
+    per 128-sweep, BASELINE.md round 4)."""
+    n = A.shape[0]
+    rows_c = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols_r = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def col(c, AM):
+        A, M = AM
+        ej = (cols_r == c).astype(A.dtype)
+        colj = jnp.sum(A * ej, axis=1, keepdims=True)
+        pivot = jnp.sum(jnp.where(rows_c == c, colj, 0.0), keepdims=True)
+        inv_d = lax.rsqrt(pivot)
+        l = jnp.where(rows_c > c, colj * inv_d, 0.0)
+        newcol = jnp.where(rows_c == c, pivot * inv_d, l)
+        lt = jnp.where(cols_r > c, jnp.transpose(l), 0.0)
+        A = A - l * lt
+        A = A * (1.0 - ej) + newcol * ej
+        # inverse: scale row c by 1/L_cc (= inv_d), eliminate below with the
+        # strictly-below chol column l (already divided by L_cc)
+        mrow = jnp.sum(jnp.where(rows_c == c, M, 0.0), axis=0,
+                       keepdims=True) * inv_d
+        M = M - l * mrow
+        M = jnp.where(rows_c == c, mrow, M)
+        return A, M
+
+    M0 = (rows_c == jnp.transpose(rows_c)).astype(A.dtype)  # identity
+
+    def outer(s, AM):
+        c0 = s * _UNROLL_OLD
+        for u in range(_UNROLL_OLD):
+            AM = col(c0 + u, AM)
+        return AM
+
+    A, M = lax.fori_loop(0, n // _UNROLL_OLD, outer, (A, M0))
+    L = jnp.where(cols_r <= rows_c, A, 0.0)
+    return L, M
+
+
+def _factor_diag(A, b):
+    """(L, L⁻¹) of a PD b×b f32 block via LEAF-blocked elimination with the
+    MASKED v2 leaves — the mode="oldleaf" A/B reference (the default path is
+    _factor_diag_fast).  Static LEAF-grid blocks only (Mosaic has no
+    dynamic_slice on values)."""
+    nb = b // LEAF
+    Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
+           for j in range(nb)] for i in range(nb)]
+    Ls = [[None] * nb for _ in range(nb)]
+    Ms = [[None] * nb for _ in range(nb)]
+    for p in range(nb):
+        Lp, Mp = _cholinv_leaf(Ab[p][p])
+        Ls[p][p], Ms[p][p] = Lp, Mp
+        for i in range(p + 1, nb):
+            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
+        for i in range(p + 1, nb):
+            for j in range(p + 1, i + 1):
+                Ab[i][j] = Ab[i][j] - _gemm32(
+                    Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
+    # block triangular inverse: M[i][j] = −M[i][i]·Σ_{j≤k<i} L[i][k]·M[k][j]
+    for j in range(nb):
+        for i in range(j + 1, nb):
+            acc = _gemm32(Ls[i][j], Ms[j][j])
+            for k in range(j + 1, i):
+                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
+            Ms[i][j] = -_gemm32(Ms[i][i], acc)
+    zero = jnp.zeros((LEAF, LEAF), A.dtype)
+    L = jnp.concatenate([
+        jnp.concatenate([Ls[i][j] if j <= i else zero for j in range(nb)],
+                        axis=1) for i in range(nb)], axis=0)
+    M = jnp.concatenate([
+        jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
+                        axis=1) for i in range(nb)], axis=0)
+    return L, M
 
 
 def _cholinv_leaf_fast(A):
@@ -123,12 +206,15 @@ def _cholinv_leaf_fast(A):
     return jnp.where(colmask <= rows_c, M, 0.0)
 
 
-def _factor_diag_fast(A, b, prec=None):
-    """(L_jj⁻¹, logdet) of a PD b×b block: LEAF-blocked elimination with the
-    fast augmented leaves — never materializes L (chol_mega._factor_diag's
-    structure minus the L bookkeeping; logdet = −2 Σ log diag(leaf M)).
+def _factor_diag_fast(A, b, prec=None, leaf=LEAF):
+    """(L_jj⁻¹, logdet) of a PD b×b block: leaf-blocked elimination with the
+    fast augmented leaves — never materializes L (_factor_diag's structure
+    minus the L bookkeeping; logdet = −2 Σ log diag(leaf M)).
     prec overrides the assembly-GEMM precision (HIGHEST default; DEFAULT =
-    fewer MXU passes, mode "leafdef")."""
+    fewer MXU passes, mode "leafdef").  `leaf` sets the sweep width: 256
+    (mode "leaf256") halves the leaf count per block — total sweep columns
+    are unchanged (b), but the inter-leaf assembly GEMM count shrinks
+    O((b/leaf)³) → the round-5 leaf-chain lever (VERDICT r4 ask #1b)."""
     if prec is None:
         gemm = _gemm32
     else:
@@ -136,8 +222,9 @@ def _factor_diag_fast(A, b, prec=None):
             return lax.dot_general(a, bm, dims,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
-    nb = b // LEAF
-    Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
+    LEAF_ = leaf
+    nb = b // LEAF_
+    Ab = [[A[i * LEAF_:(i + 1) * LEAF_, j * LEAF_:(j + 1) * LEAF_]
            for j in range(nb)] for i in range(nb)]
     Ls = [[None] * nb for _ in range(nb)]
     Ms = [[None] * nb for _ in range(nb)]
@@ -158,7 +245,7 @@ def _factor_diag_fast(A, b, prec=None):
             for k in range(j + 1, i):
                 acc = acc + gemm(Ls[i][k], Ms[k][j])
             Ms[i][j] = -gemm(Ms[i][i], acc)
-    zero = jnp.zeros((LEAF, LEAF), A.dtype)
+    zero = jnp.zeros((LEAF_, LEAF_), A.dtype)
     M = jnp.concatenate([
         jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
                         axis=1) for i in range(nb)], axis=0)
@@ -296,7 +383,8 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                         return 0
                     lax.fori_loop(0, rfull, gram_body, 0)
 
-            if "fusegram" not in modes:
+            peel = "peelgram" in modes and "fusegram" not in modes
+            if "fusegram" not in modes and not peel:
                 # DEFAULT: separate gram prepass + unconditional subtract
                 # chunks.  The "fused" alternative (gram stored by the k0==0
                 # chunk under pl.when) was measured ~1 ms SLOWER at N=16k —
@@ -312,15 +400,38 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                     @pl.when(j > 0)
                     def _():
                         acc[dsb(rt0 - jb, rtail), :] = gram_val(rt0, rtail)
+            if peel and c != 0:
+                # "peelgram": the k0==0 chunk of each quadrant initializes
+                # acc (STATICALLY peeled A0/C0 loops below — no per-chunk
+                # predication, the fusegram killer), so the prepass is
+                # needed only for correction-free geometry: kfull == 0
+                # (j < CB, c ≠ 0).  Traced trip counts keep it branch-free.
+                def gram_body(t, _):
+                    acc[dsb(t * RC, RC), :] = gram_val(jb + t * RC, RC)
+                    return 0
+                lax.fori_loop(0, jnp.where(kfull == 0, rfull, 0),
+                              gram_body, 0)
+                if rtail > 0:
+                    def gram_tail(t, _):
+                        acc[dsb(rt0 - jb, rtail), :] = gram_val(rt0, rtail)
+                        return 0
+                    lax.fori_loop(0, jnp.where(kfull == 0, 1, 0),
+                                  gram_tail, 0)
 
-            def sub_chunk(slot, r0, rows, k0, kw):
-                """One correction chunk.  The k0==0 chunk of each row range
-                INITIALIZES acc with the Gram panel minus its dot — fusing
-                the old separate Gram pass into the first correction (saves
-                one full acc write+read pass per column)."""
+            def sub_chunk(slot, r0, rows, k0, kw, first=False):
+                """One correction chunk.  Under "fusegram" (traced) or
+                "peelgram" (static `first`), the k0==0 chunk of each row
+                range INITIALIZES acc with the Gram panel minus its dot —
+                fusing the separate Gram pass into the first correction
+                (saves one full acc write+read pass per column)."""
                 if "fusegram" not in modes:
-                    if "nodot" not in modes:   # nodot: skip the subtract in
-                        acc[dsb(r0 - jb, rows), :] = (   # this branch too
+                    if first:   # peelgram: statically-peeled k0==0 chunk
+                        acc[dsb(r0 - jb, rows), :] = (
+                            gram_val(r0, rows)
+                            - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
+                                      vrow[:, dsb(k0, kw)]))
+                    elif "nodot" not in modes:  # nodot: skip the subtract
+                        acc[dsb(r0 - jb, rows), :] = (   # in this branch too
                             acc[dsb(r0 - jb, rows), :]
                             - _dot_kk(slab[slot, dsb(0, rows), dsb(0, kw)],
                                       vrow[:, dsb(k0, kw)]))
@@ -344,20 +455,60 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                         acc[dsb(r0 - jb, rows), :] - d)
 
             # -- quadrant A --------------------------------------------------
-            def A_body(idx, _):
-                r0 = jb + (idx // kfull) * RC
-                k0 = (idx % kfull) * KC
-                slot = lax.rem(idx, 2)
-                if dma:
-                    @pl.when(idx + 1 < nA)
+            if not peel:
+                def A_body(idx, _):
+                    r0 = jb + (idx // kfull) * RC
+                    k0 = (idx % kfull) * KC
+                    slot = lax.rem(idx, 2)
+                    if dma:
+                        @pl.when(idx + 1 < nA)
+                        def _():
+                            nidx = idx + 1
+                            rd(lax.rem(nidx, 2), jb + (nidx // kfull) * RC,
+                               RC, (nidx % kfull) * KC, KC).start()
+                        rd(slot, r0, RC, k0, KC).wait()
+                    sub_chunk(slot, r0, RC, k0, KC)
+                    return 0
+                lax.fori_loop(0, nA, A_body, 0)
+            else:
+                # peeled A0 (k0 == 0, initializing stores) then A' (k ≥ 1,
+                # subtracts) — identical chunk set, zero predication
+                def A0_body(t, _):
+                    r0 = jb + t * RC
+                    slot = lax.rem(t, 2)
+                    if dma:
+                        @pl.when(t + 1 < rfull)
+                        def _():
+                            rd(lax.rem(t + 1, 2), jb + (t + 1) * RC, RC,
+                               0, KC).start()
+                        rd(slot, r0, RC, 0, KC).wait()
+                    sub_chunk(slot, r0, RC, 0, KC, first=True)
+                    return 0
+                lax.fori_loop(0, jnp.where(kfull > 0, rfull, 0), A0_body, 0)
+                nA1 = rfull * jnp.maximum(kfull - 1, 0)
+                kdiv = jnp.maximum(kfull - 1, 1)
+                # the A'/C0 primes use STATIC offset KC (trace-validated
+                # even under pl.when); at N < 2·KC no column ever has
+                # kfull > 1, so the primes are statically dead there
+                if dma and N >= 2 * KC:
+                    @pl.when(nA1 > 0)
                     def _():
-                        nidx = idx + 1
-                        rd(lax.rem(nidx, 2), jb + (nidx // kfull) * RC, RC,
-                           (nidx % kfull) * KC, KC).start()
-                    rd(slot, r0, RC, k0, KC).wait()
-                sub_chunk(slot, r0, RC, k0, KC)
-                return 0
-            lax.fori_loop(0, nA, A_body, 0)
+                        rd(0, jb, RC, KC, KC).start()   # prime A'(r=0, k=1)
+
+                def A1_body(idx, _):
+                    r = idx // kdiv
+                    k = 1 + lax.rem(idx, kdiv)
+                    slot = lax.rem(idx, 2)
+                    if dma:
+                        @pl.when(idx + 1 < nA1)
+                        def _():
+                            nidx = idx + 1
+                            rd(lax.rem(nidx, 2), jb + (nidx // kdiv) * RC,
+                               RC, (1 + lax.rem(nidx, kdiv)) * KC, KC).start()
+                        rd(slot, jb + r * RC, RC, k * KC, KC).wait()
+                    sub_chunk(slot, jb + r * RC, RC, k * KC, KC)
+                    return 0
+                lax.fori_loop(0, nA1, A1_body, 0)
 
             notail = "notail" in modes
             # prime C's head (slots 0/1 drained): overlaps quadrant B
@@ -397,7 +548,22 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                         rd(slot, rt0, rtail, t * KC, KC).wait()
                     sub_chunk(slot, rt0, rtail, t * KC, KC)
                     return 0
-                lax.fori_loop(0, kfull, C_body, 0)
+                if not peel:
+                    lax.fori_loop(0, kfull, C_body, 0)
+                else:
+                    # peeled C0 (k0 == 0 initializing store for the r-tail
+                    # rows), then C' from t=1 — C_body unchanged
+                    def C0_body(t, _):
+                        if dma:
+                            if N >= 2 * KC:
+                                @pl.when(kfull > 1)
+                                def _():
+                                    rd(1, rt0, rtail, KC, KC).start()
+                            rd(0, rt0, rtail, 0, KC).wait()
+                        sub_chunk(0, rt0, rtail, 0, KC, first=True)
+                        return 0
+                    lax.fori_loop(0, jnp.where(kfull > 0, 1, 0), C0_body, 0)
+                    lax.fori_loop(1, kfull, C_body, 0)
 
             # -- quadrant D --------------------------------------------------
             if rtail > 0 and ktail > 0 and not notail:
@@ -422,7 +588,8 @@ def _panel_kernel(b, nb, q, D, nv, mode,
             else:
                 Md, ldj = _factor_diag_fast(
                     A, b, prec=(lax.Precision.DEFAULT
-                                if "leafdef" in modes else None))
+                                if "leafdef" in modes else None),
+                    leaf=(256 if "leaf256" in modes else LEAF))
             ldacc[:, :] = ldacc[:, :] + ldj
             # vj (D, b) = v_row·Mdᵀ — f32-ish via the bf16 policy
             vj = _vrow_gemm(vbuf[:, dsb(jb, b)], Md)
@@ -475,11 +642,14 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                 return 0
 
             # solve spans of 2·RC halve the per-chunk op overhead (one dot +
-            # one vbuf GEMM + one stage write per 4096 rows); a pl.when'd
-            # single-RC leftover keeps the grid exact for odd sfull.  At
-            # small N a 2·RC slice would exceed the acc buffer at TRACE time,
-            # so the span falls back to RC there (sodd is then always 0).
-            SRB = 2 if N >= 2 * RC + b else 1
+            # one vbuf GEMM + one stage write per 4096 rows); single-RC
+            # leftovers keep the grid exact for odd sfull.  At small N a
+            # wide slice would exceed the acc buffer at TRACE time, so the
+            # span falls back to RC there.  Mode "span4" widens to 4·RC
+            # (the round-5 solve-misc lever — fewer, larger solve ops).
+            SRBmax = 4 if "span4" in modes else 2
+            SRB = SRBmax if N >= SRBmax * RC + b else (
+                2 if N >= 2 * RC + b else 1)
             SR = SRB * RC
             spairs = sfull // SRB
             sodd = sfull - SRB * spairs
@@ -522,11 +692,11 @@ def _panel_kernel(b, nb, q, D, nv, mode,
             drain(spairs - 2)
             drain(spairs - 1)
 
-            @pl.when(sodd == 1)
-            def _():
-                r0 = jb + b + spairs * SR
+            def odd_body(t, _):
+                r0 = jb + b + spairs * SR + t * RC
                 Lp = lax.dot_general(
-                    acc[dsb(b + spairs * SR, RC), :].astype(jnp.bfloat16),
+                    acc[dsb(b + spairs * SR + t * RC, RC), :].astype(
+                        jnp.bfloat16),
                     Md_bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT).astype(jnp.bfloat16)
@@ -542,6 +712,8 @@ def _panel_kernel(b, nb, q, D, nv, mode,
                         wsem.at[0])
                     cp.start()
                     cp.wait()
+                return 0
+            lax.fori_loop(0, sodd, odd_body, 0)
 
             if stail > 0:
                 st0 = jb + b + sfull * RC
@@ -611,7 +783,8 @@ def panel_state_rbf(X, m, inv_width, variance, noise, b: int = 512,
     for part in mode.split("+"):
         assert part in ("full", "fakeleaf", "oldleaf", "nodot", "nodma",
                         "nogram", "nosolve", "notail", "zerogram",
-                        "fusegram", "leafdef", "diag"), part
+                        "fusegram", "leafdef", "diag", "leaf256",
+                        "span4", "peelgram"), part
 
     kern = functools.partial(_panel_kernel, b, nb, q, D, nv, mode)
     T, ld, G, v = pl.pallas_call(
@@ -639,7 +812,8 @@ def panel_state_rbf(X, m, inv_width, variance, noise, b: int = 512,
             pltpu.VMEM((N, b), jnp.float32),          # acc (panel)
             pltpu.VMEM((4, RC, KC), jnp.bfloat16),    # slab slots
             pltpu.VMEM((b, N), jnp.bfloat16),         # vrow (j-row ancestors)
-            pltpu.VMEM((2, 2 * RC, b), jnp.bfloat16),  # panel write staging
+            pltpu.VMEM((2, (4 if "span4" in mode else 2) * RC, b),
+                       jnp.bfloat16),                 # panel write staging
             pltpu.VMEM((D, N), jnp.float32),          # vbuf (row-stored)
             pltpu.VMEM((1, 1), jnp.float32),          # logdet accumulator
             pltpu.VMEM((b, b), jnp.bfloat16),         # diag-block staging

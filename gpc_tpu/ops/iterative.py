@@ -247,7 +247,7 @@ def iter_config() -> IterConfig:
 @functools.lru_cache(maxsize=None)
 def _iter_evidence_fn(kern: Kern, cfg: IterConfig):
     """custom_vjp'd (logdet, quad) = f(p, X, m) — the matrix-free analogue of
-    evidence_grad._evidence_vjp_fn, cached per (kernel, config) so the
+    the (round-2..4) explicit-K⁻¹ custom VJP, cached per (kernel, config) so the
     custom_vjp identity is stable across jit retraces.
 
     Differentiable in all three arguments (GP-LVM trains its latent X through

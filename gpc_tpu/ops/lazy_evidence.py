@@ -224,7 +224,7 @@ def kern_evidence_lazy(kern, p, X, m, ridge=0.0, force=False):
     only, never parity."""
     import os
 
-    from gpc_tpu.ops.evidence_grad import evidence_base
+    from gpc_tpu.ops.evidence_mode import evidence_base
 
     n = X.shape[0]
     on_tpu = jax.default_backend() != "cpu"

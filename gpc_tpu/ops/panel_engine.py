@@ -30,7 +30,7 @@ kernel's own residuals (L bf16 factor buffer + v = L⁻¹rhs):
   ∂logdet/∂K = K⁻¹ = L⁻ᵀL⁻¹ (blocked MXU inversion of L),
   ∂G/∂K = −α·Ḡ·αᵀ with α = K⁻¹rhs = L⁻ᵀv,   ∂G/∂rhs = 2·α·Ḡ,
 then one jax.vjp of the dense masked Gram build maps K̄ → (X̄, θ̄) — the
-same structure as ops/evidence_grad (CGp::updateCovGradient form,
+same structure as the distributed analytic sweeps (CGp::updateCovGradient form,
 /root/reference/CGp.cpp:666-679).  Cost note: this explicit-K⁻¹ backward is
 the 625-ms-class route (BASELINE.md round 3) — `lazy` remains the TRAINING
 throughput engine; `panel` is the forward-evidence champion (log-likelihood
@@ -38,7 +38,7 @@ evaluation, SCG objective-only probes, serving-side evidence monitoring).
 
 Numerical domain: bf16 factor ⇒ value drift ~1e-4 relative vs f32-HIGH on
 the bench conditioning (κ·ε_bf16 ≪ 1); gradients from the bf16 L drift at
-the documented fastgrad-bf16 level (~1e-2 relative).  Parity paths stay on
+the documented explicit-K⁻¹-bf16 level (~1e-2 relative).  Parity paths stay on
 dense/lazy.
 """
 

@@ -176,7 +176,7 @@ def test_select_evidence_mode(monkeypatch):
     """Resolver contract: explicit flag wins (with dense fallback on
     non-splitting N for the fused engines); unset default is dense on CPU;
     iterative has no split requirement."""
-    from gpc_tpu.ops.evidence_grad import evidence_base, select_evidence_mode
+    from gpc_tpu.ops.evidence_mode import evidence_base, select_evidence_mode
 
     b = evidence_base()
     monkeypatch.delenv("GPC_TPU_EVIDENCE", raising=False)

@@ -1,38 +1,12 @@
-"""Whole-evidence Pallas mega-kernel: lazy-Gram blocked Cholesky in ONE op.
+"""v2 whole-evidence Pallas mega-kernel (SUPERSEDED by ops/chol_panel).
 
-The XLA-orchestrated fused evidence (ops/evidence_fast.py) reaches ~100% of
-the same-session matmul roofline on pool-throttled sessions but only ~55% on
-healthy chips: with ~400 separate XLA ops, per-op dispatch, leaf-cholesky
-floors and operand-staging copies are invisible when the MXU is slow and
-dominant when it is fast.  This kernel runs the ENTIRE left-looking blocked
-factorization of the lazily-materialized RBF Gram matrix — tile generation,
-bf16/f32-accum Schur corrections, diagonal-leaf chol+inverse, panel solves,
-forward substitution of the RHS, logdet — as a single `pallas_call`.
-
-Schedule (v2 — "row-panel" form; v5e has ≳120 MB of physical VMEM, far
-above the 16 MB compiler default, so whole block-rows of L stay resident):
-
-  L's subdiagonal blocks are stored TRANSPOSED and flat-packed in HBM at
-  tri(i,j) = i(i+1)/2 + j, so block-row i's ancestors L[i,0..j) are ONE
-  contiguous (j,b,b) DMA, and every Schur correction collapses to a single
-  tall MXU dot:  reshape(row_i,(j·b,b))ᵀ · reshape(row_j,(j·b,b)) =
-  Σ_k L[i,k]·L[j,k]ᵀ.  Per column j (Python-unrolled, static widths):
-
-    diag:  A = K(j,j) + noise·I − VjᵀVj;  (L_jj, L_jj⁻¹) in VMEM;
-           v_j = L_jj⁻¹·(m_j − Vjᵀ·v[:jb]);  logdet += 2·Σ log diag
-    rows:  A = K(i,j) − ViᵀVj          (row_i double-buffered DMA)
-           L_ijᵀ = L_jj⁻¹·Aᵀ (one GEMM);  v_i −= L_ij·v_j;  DMA out
-
-The in-VMEM leaf (LEAF=128) produces (L, L⁻¹) in ONE masked column sweep:
-the forward Gauss elimination that forms L is applied simultaneously to an
-identity block (row scale + rank-1 outer-product update — all VPU, no
-per-row MXU dot), so every later panel solve is a pure MXU GEMM.  The
-O(N³) work uses the same bf16-input/f32-accumulate policy as
-evidence_fast's bench path; leaves are f32.
-
-Replaces (TPU-first) the dpotrf/dtrsv hot block of CGp::logLikelihood
-(/root/reference/CGp.cpp:920-937, CMatrix.cpp:371-412).  Forward-only:
-parity and training autodiff use ops/lazy_evidence.py / models/gp.py.
+Moved out of the package in round 5 (VERDICT r4 ask #8): the v3 panel
+schedule (gpc_tpu/ops/chol_panel.py) beats this kernel by ~15% at N=16k
+(14.3-15.8 ms vs 17.1, BASELINE.md round 4), and the shared leaf library
+(_cholinv_leaf/_factor_diag/_gemm32) now lives in chol_panel.  Kept here as
+bench-local A/B code so the recorded round-3/4 measurements
+(tools/tpu_mega_*.py, MEASUREMENTS_r4.md) stay reproducible.  Not a product
+engine; no model path reaches it.
 """
 
 from __future__ import annotations
@@ -50,12 +24,13 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-LEAF = 128
+from gpc_tpu.ops.chol_panel import LEAF, _cholinv_leaf, _factor_diag, _gemm32
+
 _UNROLL = 8
 
 
 def _dotT(a, b):
-    """a @ bᵀ with bf16 inputs, f32 accumulation (1-pass MXU)."""
+    """a @ b\u1d40 with bf16 inputs, f32 accumulation (1-pass MXU)."""
     return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                            (((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32,
@@ -63,97 +38,11 @@ def _dotT(a, b):
 
 
 def _dotc0(a, b):
-    """aᵀ @ b (contract dim 0) with bf16 inputs, f32 accumulation."""
+    """a\u1d40 @ b (contract dim 0) with bf16 inputs, f32 accumulation."""
     return lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                            (((0,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32,
                            precision=lax.Precision.DEFAULT)
-
-
-def _gemm32(a, b, dims=(((1,), (0,)), ((), ()))):
-    """Small f32 GEMM at HIGHEST (Mosaic rejects inherited HIGH)."""
-    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
-
-
-def _cholinv_leaf(A):
-    """(L, L⁻¹) of one PD LEAF×LEAF f32 block, single masked column sweep.
-
-    Column c of the Cholesky and the matching Gauss-elimination update of an
-    identity block (M[c,:] /= L_cc then M[r>c,:] −= L[r,c]·M[c,:]) — the
-    latter is a row extraction + rank-1 outer product, all VPU."""
-    n = A.shape[0]
-    rows_c = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    cols_r = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-
-    def col(c, AM):
-        A, M = AM
-        ej = (cols_r == c).astype(A.dtype)
-        colj = jnp.sum(A * ej, axis=1, keepdims=True)
-        pivot = jnp.sum(jnp.where(rows_c == c, colj, 0.0), keepdims=True)
-        inv_d = lax.rsqrt(pivot)
-        l = jnp.where(rows_c > c, colj * inv_d, 0.0)
-        newcol = jnp.where(rows_c == c, pivot * inv_d, l)
-        lt = jnp.where(cols_r > c, jnp.transpose(l), 0.0)
-        A = A - l * lt
-        A = A * (1.0 - ej) + newcol * ej
-        # inverse: scale row c by 1/L_cc (= inv_d), eliminate below with the
-        # strictly-below chol column l (already divided by L_cc)
-        mrow = jnp.sum(jnp.where(rows_c == c, M, 0.0), axis=0,
-                       keepdims=True) * inv_d
-        M = M - l * mrow
-        M = jnp.where(rows_c == c, mrow, M)
-        return A, M
-
-    M0 = (rows_c == jnp.transpose(rows_c)).astype(A.dtype)  # identity
-
-    def outer(s, AM):
-        c0 = s * _UNROLL
-        for u in range(_UNROLL):
-            AM = col(c0 + u, AM)
-        return AM
-
-    A, M = lax.fori_loop(0, n // _UNROLL, outer, (A, M0))
-    L = jnp.where(cols_r <= rows_c, A, 0.0)
-    return L, M
-
-
-def _factor_diag(A, b):
-    """(L, L⁻¹) of a PD b×b f32 block via LEAF-blocked elimination.
-
-    Static LEAF-grid blocks only (Mosaic has no dynamic_slice on values):
-    leaf chol+inv, panel solves and trailing Schur updates as small GEMMs,
-    then the block lower-triangular inverse assembled column-block by
-    column-block.  Returns concatenated (L, M)."""
-    nb = b // LEAF
-    Ab = [[A[i * LEAF:(i + 1) * LEAF, j * LEAF:(j + 1) * LEAF]
-           for j in range(nb)] for i in range(nb)]
-    Ls = [[None] * nb for _ in range(nb)]
-    Ms = [[None] * nb for _ in range(nb)]
-    for p in range(nb):
-        Lp, Mp = _cholinv_leaf(Ab[p][p])
-        Ls[p][p], Ms[p][p] = Lp, Mp
-        for i in range(p + 1, nb):
-            Ls[i][p] = _gemm32(Ab[i][p], Mp, (((1,), (1,)), ((), ())))
-        for i in range(p + 1, nb):
-            for j in range(p + 1, i + 1):
-                Ab[i][j] = Ab[i][j] - _gemm32(
-                    Ls[i][p], Ls[j][p], (((1,), (1,)), ((), ())))
-    # block triangular inverse: M[i][j] = −M[i][i]·Σ_{j≤k<i} L[i][k]·M[k][j]
-    for j in range(nb):
-        for i in range(j + 1, nb):
-            acc = _gemm32(Ls[i][j], Ms[j][j])
-            for k in range(j + 1, i):
-                acc = acc + _gemm32(Ls[i][k], Ms[k][j])
-            Ms[i][j] = -_gemm32(Ms[i][i], acc)
-    zero = jnp.zeros((LEAF, LEAF), A.dtype)
-    L = jnp.concatenate([
-        jnp.concatenate([Ls[i][j] if j <= i else zero for j in range(nb)],
-                        axis=1) for i in range(nb)], axis=0)
-    M = jnp.concatenate([
-        jnp.concatenate([Ms[i][j] if j <= i else zero for j in range(nb)],
-                        axis=1) for i in range(nb)], axis=0)
-    return L, M
 
 
 def _mega_kernel(b, nb, q, D, mode, xs_ref, n2_ref, n2row_ref, m_ref,

@@ -84,7 +84,7 @@ def _main_inner(K, GPLVM, log_likelihood):
     reps = 5
     # lazy+bf16 rides the rank-1 bias Woodbury split (lazy_evidence.bias_split)
     # — without it the bf16 factorization NaNs on this kernel family
-    for mode, bf16 in (("lazy", "0"), ("lazy", "1"), ("fastgrad", "0")):
+    for mode, bf16 in (("lazy", "0"), ("lazy", "1")):  # fastgrad removed r5
         os.environ["GPC_TPU_EVIDENCE"] = mode
         os.environ["GPC_TPU_BF16_EVIDENCE"] = bf16
 

@@ -27,7 +27,7 @@ from jax import lax
 
 from gpc_tpu.ops.evidence_fast import Policy, evidence_left_fast
 from gpc_tpu.ops.lazy_evidence import rbf_block_fn
-from gpc_tpu.ops.chol_mega import evidence_mega_rbf
+from chol_mega_v2 import evidence_mega_rbf
 
 
 def sync(x):

@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from gpc_tpu.ops import chol_mega as CM
+import chol_mega_v2 as CM
 
 
 def sync(x):

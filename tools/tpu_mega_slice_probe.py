@@ -26,7 +26,7 @@ def sync(x):
 
 
 def main():
-    from gpc_tpu.ops.chol_mega import evidence_mega_rbf
+    from chol_mega_v2 import evidence_mega_rbf
 
     @jax.jit
     def _t(a):

@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpc_tpu.ops.chol_mega import _factor_diag
+from gpc_tpu.ops.chol_panel import _factor_diag
 
 RC, KC, B = 2048, 2048, 512
 
@@ -179,7 +179,7 @@ def make_leaf_parts_probe(kind: str, n: int):
       fdiag    — n x full _factor_diag(512)
       fsweep128 / ffdiag — the chol_panel fast augmented variants
     """
-    from gpc_tpu.ops.chol_mega import _cholinv_leaf
+    from gpc_tpu.ops.chol_panel import _cholinv_leaf
     from gpc_tpu.ops.chol_panel import _cholinv_leaf_fast, _factor_diag_fast
 
     def kernel(a512_ref, a128_ref, out_ref, acc):

@@ -120,7 +120,7 @@ def main():
     reps = 8
 
     from gpc_tpu.ops.chol_panel import evidence_panel_rbf
-    from gpc_tpu.ops.chol_mega import evidence_mega_rbf
+    from chol_mega_v2 import evidence_mega_rbf
     from gpc_tpu.ops.evidence_fast import evidence_flat, Policy
     from gpc_tpu.ops.lazy_evidence import rbf_block_fn
 
