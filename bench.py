@@ -245,6 +245,17 @@ def main():
     ANCHOR_ROOF = 166000.0  # GFLOP/s bf16 — the round-3 extras session
                             # measured roofline 163-170 TF/s (BASELINE.md)
 
+    def _min3(fn):
+        """min-of-3 timed samples, RTT-subtracted — the same discipline as
+        the headline (VERDICT r4 weak #5: one-shot secondary timings were
+        re-rolling ±50% run-to-run)."""
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return max(min(ts) - rtt, 1e-9)
+
     def _emit_extra(metric, value, unit, raw_ratio):
         print(json.dumps({
             "metric": metric, "value": value, "unit": unit,
@@ -282,9 +293,7 @@ def main():
                 return jax.lax.fori_loop(
                     0, repsd, body, (jnp.zeros((), jnp.float32), t))[0]
             sync(dchain(th))
-            t0 = time.perf_counter()
-            sync(dchain(th))
-            t = max(time.perf_counter() - t0 - rtt, 1e-9) / repsd
+            t = _min3(lambda: sync(dchain(th))) / repsd
             _emit_extra("dtc16k_m1024_step_ms", round(t * 1e3, 2), "ms",
                         6.7 / (t * 1e3))
         except Exception as e:
@@ -332,9 +341,7 @@ def main():
                     0, repsg, body, (jnp.zeros((), jnp.float32), t))[0]
             v0 = sync(gchain(thg))
             assert np.isfinite(v0)
-            t0 = time.perf_counter()
-            sync(gchain(thg))
-            t = max(time.perf_counter() - t0 - rtt, 1e-9) / repsg
+            t = _min3(lambda: sync(gchain(thg))) / repsg
             _emit_extra("gplvm16k_step_ms", round(t * 1e3, 1), "ms",
                         141.0 / (t * 1e3))
         except Exception as e:
@@ -371,12 +378,29 @@ def main():
                 st = select_points(speci, kp, npi, Xi, yi, rvi)
                 return st.varsigma.sum()
             sync(sel(kpi))
-            t0 = time.perf_counter()
-            sync(sel(kpi))
-            t = max(time.perf_counter() - t0 - rtt, 1e-9)
+            t = _min3(lambda: sync(sel(kpi)))
             pps = di / t
             _emit_extra("ivm_select_points_per_s", round(pps, 0), "points/s",
                         pps / 28676.0)
+            # scalar-ISSUE proxy: a 2000-step chained tiny-op loop (the
+            # selection scan's cost character is per-op issue latency, not
+            # matmul flops — the roofline normalization above is the wrong
+            # model for it, VERDICT r4 weak #5).  Emitted as a diagnostic
+            # so cross-session records can be re-normalized once two
+            # sessions carry it; the ivm metric stays tracked, not gated.
+            vsmall = jnp.ones((8, 128), jnp.float32)
+
+            @jax.jit
+            def issue_chain(v):
+                def body(_, acc):
+                    return acc + jnp.tanh(acc) * (1.0 / (1.0 + acc[0, 0]))
+                return jax.lax.fori_loop(0, 2000, body, v)
+            sync(issue_chain(vsmall))
+            t_issue = _min3(lambda: sync(issue_chain(vsmall))) / 2000
+            print(json.dumps({
+                "metric": "scalar_issue_us", "value": round(t_issue * 1e6, 3),
+                "unit": "us/op",
+                "session_roofline_gflops": round(roofline_gflops, 0)}))
         except Exception as e:
             print(f"# ivm extra failed: {type(e).__name__}", file=sys.stderr)
         gc.collect()
