@@ -176,6 +176,37 @@ def pivoted_cholesky(kern: Kern, p, X, rank: int):
     return Lk
 
 
+def pivoted_cholesky_masked(kern: Kern, p, X, mask, rank: int):
+    """`pivoted_cholesky` with masked-out rows (pads / sequence breaks)
+    excluded: their residual diagonal is zeroed so they are never picked as
+    pivots, and their Lk rows are zeroed so the Woodbury preconditioner
+    never mixes the identity subspace with the kernel one — matching the
+    masked operator mask·K·mask + (I − mask) of parallel/dist_iterative
+    and the GPDM dynamics route."""
+    N = X.shape[0]
+    diag0 = (kern.diag(p, X) - kern.white(p)) * mask
+
+    def body(i, carry):
+        Lk, d = carry
+        piv = jnp.argmax(d)
+        col = kern.compute(
+            p, X, lax.dynamic_slice(X, (piv, 0), (1, X.shape[1])))[:, 0]
+        col = col * mask
+        li = Lk[piv, :]
+        col = col - Lk @ li
+        pivot_val = jnp.maximum(d[piv], 1e-12)
+        newcol = col / jnp.sqrt(pivot_val)
+        newcol = newcol.at[piv].set(jnp.sqrt(pivot_val))
+        Lk = Lk.at[:, i].set(newcol * mask)
+        d = jnp.maximum(d - newcol * newcol * mask, 0.0)
+        d = d.at[piv].set(0.0)
+        return Lk, d
+
+    Lk0 = jnp.zeros((N, rank), X.dtype)
+    Lk, _ = lax.fori_loop(0, rank, body, (Lk0, diag0))
+    return Lk
+
+
 def woodbury_preconditioner(Lk, sigma2):
     """Solve (Lk·Lkᵀ + σ²I)⁻¹·r via Woodbury, as a closure for PCG."""
     k = Lk.shape[1]
@@ -335,8 +366,21 @@ def _iter_evidence_masked_fn(kern: Kern, cfg: IterConfig):
         k_tr, k_slq = jax.random.split(jax.random.fold_in(key, N))
         Z = jax.random.rademacher(k_tr, (N, cfg.trace_probes), dtype=X.dtype)
         mvm = lambda V: _mvm(p, X, mask, V)
-        sols = cg_solve(mvm, jnp.concatenate([m, Z], axis=1),
-                        max_iters=cfg.cg_iters).x
+        B = jnp.concatenate([m, Z], axis=1)
+        if cfg.precond_rank > 0:
+            # masked pivoted-Cholesky/Woodbury preconditioner: break rows
+            # are excluded from the pivot pool and the solve acts as the
+            # identity there, matching the masked operator
+            Lk = pivoted_cholesky_masked(kern, p, X, mask, cfg.precond_rank)
+            wsolve = woodbury_preconditioner(Lk, kern.white(p) + 1e-8)
+
+            def pre(R):
+                Rs = wsolve(R * mask[:, None]) * mask[:, None]
+                return Rs + (1.0 - mask[:, None]) * R
+
+            sols = pcg_solve(mvm, B, pre, max_iters=cfg.cg_iters).x
+        else:
+            sols = cg_solve(mvm, B, max_iters=cfg.cg_iters).x
         alpha, W = sols[:, :D], sols[:, D:]
         quad = jnp.sum(m * alpha)
         logdet = slq_logdet(mvm, N, k_slq, probes=cfg.probes,

@@ -42,7 +42,9 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpc_tpu.kernels import Kern
-from gpc_tpu.ops.iterative import IterConfig, cg_solve, iter_config, slq_logdet
+from gpc_tpu.ops.iterative import (IterConfig, cg_solve, iter_config,
+                                   pcg_solve, pivoted_cholesky_masked,
+                                   slq_logdet, woodbury_preconditioner)
 from gpc_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -104,8 +106,28 @@ def make_dist_iterative_evidence(kern: Kern, mesh: Mesh,
         key = jax.random.PRNGKey(cfg.seed)
         k_tr, k_slq = jax.random.split(jax.random.fold_in(key, N))
         Z = jax.random.rademacher(k_tr, (N, cfg.trace_probes), dtype=Xl.dtype)
-        sols = cg_solve(mvm, jnp.concatenate([mg, Z], axis=1),
-                        max_iters=cfg.cg_iters).x
+        B = jnp.concatenate([mg, Z], axis=1)
+        if cfg.precond_rank > 0:
+            # pivoted-Cholesky/Woodbury preconditioner (required at large
+            # N / small white variance — ops/iterative.py), built on the
+            # gathered X REPLICATED (the greedy pivot scan is inherently
+            # sequential; O(N·k) memory, identical on every device so the
+            # PCG trajectory stays mesh-deterministic).  Pad rows are
+            # masked out of the pivot pool and of Lk, and the solve acts
+            # as the identity there — matching the masked operator.
+            Xg = lax.all_gather(Xl, DATA_AXIS, tiled=True)
+            maskg = lax.all_gather(maskl, DATA_AXIS, tiled=True)
+            Lk = pivoted_cholesky_masked(kern, p, Xg, maskg,
+                                         cfg.precond_rank)
+            wsolve = woodbury_preconditioner(Lk, kern.white(p) + 1e-8)
+
+            def pre(R):
+                Rs = wsolve(R * maskg[:, None]) * maskg[:, None]
+                return Rs + (1.0 - maskg[:, None]) * R
+
+            sols = pcg_solve(mvm, B, pre, max_iters=cfg.cg_iters).x
+        else:
+            sols = cg_solve(mvm, B, max_iters=cfg.cg_iters).x
         alpha, W = sols[:, :D], sols[:, D:]
         quad = jnp.sum(mg * alpha)
         logdet = slq_logdet(mvm, N, k_slq, probes=cfg.probes,

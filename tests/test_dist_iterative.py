@@ -157,3 +157,38 @@ def test_dist_iterative_nlml_trains():
 
     res = scg(lambda th: vag(th, *args), model.theta, max_iters=15)
     assert float(res.obj) < float(v0)
+
+
+def test_dist_preconditioned_matches_single_chip():
+    """precond_rank > 0: the distributed PCG (masked pivoted-Cholesky/
+    Woodbury preconditioner built on the gathered X) reproduces the
+    single-chip preconditioned engine on divisible N, and converges on a
+    hard conditioning (small white) where the same-budget plain CG has
+    visibly larger residual error vs the exact dense solve."""
+    N = 64
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.standard_normal((N, 2)))
+    m = jnp.asarray(rng.standard_normal((N, 1)))
+    kern = _kern(2)
+    p = jnp.asarray(np.array([0.4, 1.0, 0.2, 1e-4]))   # tiny white: hard CG
+    cfgp = IterConfig(block=32, probes=8, lanczos_iters=24, cg_iters=25,
+                      precond_rank=24, trace_probes=8, seed=0)
+    cfg0 = IterConfig(block=32, probes=8, lanczos_iters=24, cg_iters=25,
+                      precond_rank=0, trace_probes=8, seed=0)
+    mesh = data_mesh()
+    mask = jnp.ones((N,))
+    args = (shard_rows(mesh, np.asarray(X)), shard_rows(mesh, np.asarray(m)),
+            shard_rows(mesh, np.asarray(mask)))
+    evp = make_dist_iterative_evidence(kern, mesh, cfgp)
+    _, quad_p = evp(p, *args)
+    _, quad_s = kern_evidence_iterative(kern, p, X, m, cfg=cfgp)
+    np.testing.assert_allclose(float(quad_p), float(quad_s), rtol=1e-8)
+
+    ev0 = make_dist_iterative_evidence(kern, mesh, cfg0)
+    _, quad_0 = ev0(p, *args)
+    K = np.asarray(kern.gram(p, X))
+    quad_exact = float((np.asarray(m) * np.linalg.solve(K, np.asarray(m))).sum())
+    err_p = abs(float(quad_p) - quad_exact) / abs(quad_exact)
+    err_0 = abs(float(quad_0) - quad_exact) / abs(quad_exact)
+    assert err_p < 1e-6, (err_p, err_0)
+    assert err_p < err_0 * 0.1, (err_p, err_0)   # ≥10× better at equal iters
