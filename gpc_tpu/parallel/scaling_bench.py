@@ -121,7 +121,37 @@ def weak_scaling_artifact(n_devices: int, rows_per_device: int = 128,
                      "N^3/n_devices - the comm:compute ratio falls as "
                      "3/rows_per_device, the basis of the >=70% weak-scaling "
                      "target on real ICI"),
-        }
+        },
+        "iterative_weak_scaling_proxy": _iterative_proxy(
+            n_devices, rows_per_device, q, kern, model, mesh, Xs, ys, ms),
+    }
+
+
+def _iterative_proxy(n_devices, rows_per_device, q, kern, model, mesh,
+                     Xs, ys, ms):
+    """Collective census for the round-5 sharded matrix-free engine
+    (parallel/dist_iterative): per MVM the only communication is ONE
+    (N/P, D') result all_gather (O(N·D') bytes) against O(N²·/P) local
+    FLOPs — the comm:compute ratio falls as P/N, far below the dense
+    panel sweep's, so the matrix-free path weak-scales at least as well."""
+    from gpc_tpu.ops.iterative import IterConfig
+    from gpc_tpu.parallel.dist_iterative import dist_iterative_nlml
+
+    N = rows_per_device * n_devices
+    cfg = IterConfig(block=max(rows_per_device // 2, 16), probes=2,
+                     lanczos_iters=8, cg_iters=20, trace_probes=2, seed=0)
+    nlml = dist_iterative_nlml(kern, mesh, model.bias, model.fixed_scales,
+                               N, cfg)
+    stats = collective_stats(
+        lambda t, X_, y_, m_: jax.value_and_grad(nlml)(t, X_, y_, m_),
+        model.theta, Xs, ys, ms)
+    return {
+        "program": "dist_iterative value+grad (row-sharded CG+SLQ)",
+        "collectives_static": stats,
+        "mvm_allgather_elems": N,
+        "note": ("one (N/P, D') all_gather per MVM; MVMs execute "
+                 "cg_iters + probes*lanczos_iters times per evidence; "
+                 "comm:compute falls as n_devices/N"),
     }
 
 
