@@ -194,6 +194,101 @@ def test_ivm_gnuplot_regression_1d(in_tmp):
     assert "error_bar_data" in open("rw_plot.gp").read()
 
 
+def test_gplvm_dynamics_cli(in_tmp, capsys):
+    """GPDM via the CLI: -D dynamics kernel, -ds scale, -dr fixed SNR
+    (gplvm.cpp:452-501 — SNR mode sets the dynamics white variance to
+    scale/ratio² and freezes the dynamics kernel parameters)."""
+    gplvm_cli.main(["-s", "4", "-v", "1", "learn", "-D", "rbf", "-ds", "0.5",
+                    "-dr", "10", "-#", "8", OIL100, "gd"])
+    assert "GPLVM Model" in capsys.readouterr().out
+    from gpc_tpu.io import model_io as mio
+    m, _ = mio.read_gplvm("gd")
+    assert m.spec.has_dynamics
+    gplvm_cli.main(["display", "gd"])
+    assert "Latent dimension: 2" in capsys.readouterr().out
+    # -dr / -ds before any -D kernel is declared is an error (gplvm.cpp:163+)
+    with pytest.raises(SystemExit):
+        gplvm_cli.main(["learn", "-dr", "10", OIL100, "x"])
+    with pytest.raises(SystemExit):
+        gplvm_cli.main(["learn", "-ds", "0.5", OIL100, "x"])
+
+
+def test_gplvm_back_constraint_cli(in_tmp, capsys):
+    """Kernel back constraints via the CLI: -c computes bK on Y and optimises
+    A with X = bK·A (gplvm.cpp:373-376, 527-537)."""
+    gplvm_cli.main(["-s", "5", "-v", "0", "learn", "-c", "rbf", "-#", "8",
+                    OIL100, "gb"])
+    from gpc_tpu.io import model_io as mio
+    m, _ = mio.read_gplvm("gb")
+    # back-constraint info is not serialized (the reference leaves a 'goes
+    # here' placeholder, CGplvm.cpp) — the latent coordinates themselves are
+    assert m.latent_X().shape == (100, 2)
+
+
+def test_ivm_labelled_indices_ncnm(in_tmp, capsys):
+    """-l with NCNM blanks the labels of unlisted points (ivm.cpp:492-504)."""
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(6)
+    X = np.vstack([rng.standard_normal((12, 2)) + 2,
+                   rng.standard_normal((12, 2)) - 2])
+    y = np.concatenate([np.ones(12), -np.ones(12)])
+    write_svml("l.svml", X, y)
+    with open("lab.idx", "w") as f:
+        f.write("".join(f"{i}\n" for i in range(1, 9)))  # 1-based indices
+    ivm_cli.main(["-s", "1", "-v", "1", "learn", "-o", "ncnm", "-a", "10",
+                  "-k", "rbf", "-e", "1", "-#", "5", "-n", "2",
+                  "-l", "lab.idx", "l.svml", "nm"])
+    out = capsys.readouterr().out
+    assert "Removed labels from 16 points" in out
+    from gpc_tpu.io import model_io as mio
+    m = mio.read_ivm("nm")
+    assert type(m.spec.noise).__name__ == "NcnmNoise"
+    # out-of-range index is rejected
+    with open("bad.idx", "w") as f:
+        f.write("40\n")
+    with pytest.raises(SystemExit):
+        ivm_cli.main(["-s", "1", "learn", "-o", "ncnm", "-a", "5", "-k", "rbf",
+                      "-l", "bad.idx", "l.svml", "x"])
+
+
+def test_ivm_labelled_indices_probit_subset(in_tmp, capsys):
+    """-l without NCNM reduces the data to the labelled subset
+    (ivm.cpp: probit branch — train on indexed rows only)."""
+    from gpc_tpu.io.svml import write_svml
+    rng = np.random.default_rng(7)
+    X = np.vstack([rng.standard_normal((12, 2)) + 2,
+                   rng.standard_normal((12, 2)) - 2])
+    y = np.concatenate([np.ones(12), -np.ones(12)])
+    write_svml("l2.svml", X, y)
+    with open("lab2.idx", "w") as f:
+        f.write("".join(f"{i}\n" for i in list(range(1, 7)) + list(range(13, 19))))
+    ivm_cli.main(["-s", "1", "-v", "1", "learn", "-a", "8", "-k", "rbf",
+                  "-e", "1", "-#", "5", "-n", "2",
+                  "-l", "lab2.idx", "l2.svml", "pm"])
+    out = capsys.readouterr().out
+    assert "contains 12 points" in out
+    from gpc_tpu.io import model_io as mio
+    m = mio.read_ivm("pm")
+    assert type(m.spec.noise).__name__ == "ProbitNoise"
+    assert m.spec.n_data == 12
+
+
+def test_probit_on_labelled_crescent(in_tmp, capsys):
+    """The reference README's comparison run: probit IVM on the
+    labelled-only crescent subset (semisupercrescent_labelled.svml,
+    reference README.md:367 bottom plot)."""
+    data = "/root/reference/examples/semisupercrescent_labelled.svml"
+    ivm_cli.main(["-s", "1", "-v", "0", "learn", "-a", "20", "-k", "rbf",
+                  "-e", "2", "-#", "30", "-n", "10", data, "sl"])
+    ivm_cli.main(["test", data, "sl"])
+    out = capsys.readouterr().out
+    assert "Classification error" in out
+    # the 39 labelled points are linearly separated crescents — training
+    # error should be low
+    err = float(out.split("Classification error on output 1:")[1].split("%")[0])
+    assert err <= 10.0
+
+
 def test_gp_gnuplot_classification(in_tmp):
     """probit/ncnm gp gnuplot branch (gp.cpp:635-750): probability grid,
     class scatter files, decision/contour script, inducing-set file."""
