@@ -45,10 +45,10 @@ def test_evidence_from_distributed_factor():
     L = np.asarray(chol_distributed(mesh, shard_rows(mesh, K)))
     logdet = 2.0 * np.sum(np.log(np.diag(L)))
     v = np.linalg.solve(L, m)
-    quad = float(v.T @ v)
+    quad = float((v.T @ v).item())
     sign, want_logdet = np.linalg.slogdet(K)
     np.testing.assert_allclose(logdet, want_logdet, rtol=1e-10)
-    np.testing.assert_allclose(quad, float(m.T @ np.linalg.solve(K, m)), rtol=1e-8)
+    np.testing.assert_allclose(quad, (m.T @ np.linalg.solve(K, m)).item(), rtol=1e-8)
 
 
 def test_fused_evidence_sweep():

@@ -98,7 +98,7 @@ def test_iterative_evidence_preconditioned():
     quad, _ = iterative_evidence(kern, p, X, m, jax.random.PRNGKey(2),
                                  block=128, probes=8, lanczos_iters=30,
                                  precond_rank=60)
-    want = float(np.asarray(m).T @ np.linalg.solve(Kmat, np.asarray(m)))
+    want = (np.asarray(m).T @ np.linalg.solve(Kmat, np.asarray(m))).item()
     np.testing.assert_allclose(float(quad), want, rtol=1e-5)
 
 
