@@ -137,14 +137,22 @@ def relearn(cl: CommandLine):
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "gp_model"
+    # the reference writes the retrained model to the THIRD positional
+    # newModelFileName (default gp_model) — the input model file is never
+    # overwritten unless named again (gp.cpp:446-447, 480-515)
+    new_model_file = (cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv)
+                      else "gp_model")
     X, y = load_data(data_file, cl.file_format)
     model = model_io.read_gp(model_file, X=X, y=y)
+    if model.spec.input_dim != X.shape[1]:
+        # gp.cpp:502-503
+        raise ExitError(f"{data_file}: input data is not of correct dimension")
     res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
         print(f"Final objective: {float(res.obj)} after {int(res.iters)} iterations")
     comment = "Run as: " + " ".join(sys.argv) + f" with seed {cl.seed}."
-    model_io.write_gp(model_file, model, comment)
+    model_io.write_gp(new_model_file, model, comment)
 
 
 def display(cl: CommandLine):

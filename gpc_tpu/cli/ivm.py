@@ -32,27 +32,25 @@ def _help():
 def _select_noise(cl, y, out_type, labelled_idx):
     """Noise model selection incl. NCNM auto-upgrade (ivm.cpp:427-475)."""
     D = y.shape[1]
-    missing = False
     if out_type == "ncnm":
         ok = np.isin(y, [1.0, -1.0, 0.0]) | np.isnan(y)
         if not ok.all():
             raise ExitError("Input data is not a classification data set. "
                             "Labels must either be -1.0, 1.0 or (for unlabelled) 0.0")
-        return NZ.NcnmNoise(output_dim=D), True
+        return NZ.NcnmNoise(output_dim=D)
     if out_type == "classification":
         vals = y[~np.isnan(y)]
         bad = ~np.isin(vals, [1.0, -1.0, 0.0])
         if bad.any():
             raise ExitError("Input data is not a classification data set. "
                             "Labels must either be -1.0, 1.0 or (for unlabelled) 0.0")
-        missing = bool((~np.isin(y, [1.0, -1.0])).any())
-        if missing:
+        if bool((~np.isin(y, [1.0, -1.0])).any()):
             if cl.verbosity > 0:
                 print("Some data are missing labels, using null category noise model.")
-            return NZ.NcnmNoise(output_dim=D), True
-        return NZ.ProbitNoise(output_dim=D), False
+            return NZ.NcnmNoise(output_dim=D)
+        return NZ.ProbitNoise(output_dim=D)
     if out_type == "regression":
-        return NZ.GaussianNoise(output_dim=D), False
+        return NZ.GaussianNoise(output_dim=D)
     raise ExitError("Unknown output type, valid types are 'classification', "
                     "'regression' and 'ncnm' (null category noise model).")
 
@@ -116,7 +114,7 @@ def learn(cl: CommandLine):
             if i < 0 or i >= y.shape[0]:
                 raise ExitError(f"Bad index in {labelled_file}")
 
-    noise, missing = _select_noise(cl, y, out_type, labelled_idx)
+    noise = _select_noise(cl, y, out_type, labelled_idx)
     if labelled_file:
         if isinstance(noise, NZ.NcnmNoise):
             # blank labels of unlisted points (ivm.cpp:492-504)
@@ -146,9 +144,13 @@ def learn(cl: CommandLine):
 
 
 def relearn(cl: CommandLine):
+    """Warm-start retraining (ivm.cpp:83-231): loads kernel + noise params
+    from a saved model, rebuilds the IVM on (possibly new) data, and writes
+    the result to the THIRD positional newModelFileName (default ivm_model)
+    — the input model file is never overwritten unless named again."""
     cl.advance()
     kern_iters, noise_iters, ext_iters = 100, 20, 4
-    active = None
+    active = -1
     labelled_file = None
     while cl.is_flag():
         arg = cl.current()
@@ -168,25 +170,46 @@ def relearn(cl: CommandLine):
                 raise ExitError("Unrecognised model optimiser type.")
         else:
             raise ExitError(f"Unrecognised flag: {cl.current()}")
+    if active == -1:
+        # the reference requires -a on relearn too (ivm.cpp:143-144)
+        raise ExitError("You must choose an active set size (option -a) for the command learn.")
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else "ivm_model"
+    new_model_file = (cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv)
+                      else "ivm_model")
     X, y = load_data(data_file, cl.file_format)
+    labelled_idx = None
     if labelled_file:
         with open(labelled_file) as f:
             labelled_idx = [int(ln) - 1 for ln in f if ln.strip()]
         for i in labelled_idx:
             if i < 0 or i >= y.shape[0]:
                 raise ExitError(f"Bad index in {labelled_file}")
-        X, y = X[labelled_idx], y[labelled_idx]
-    model = model_io.read_ivm(model_file, X=X, y=y)
-    if active is not None and active != model.spec.num_active:
-        model = IVM(model.spec.kern, model.spec.noise, X, y, num_active=active,
-                    seed=cl.seed, kern_params=model.kern_params,
-                    noise_params=model.noise_params)
+    stored = model_io.read_ivm(model_file)
+    if stored.spec.input_dim != X.shape[1]:
+        # ivm.cpp:178-179
+        raise ExitError(f"{data_file}: input data is not of correct dimension")
+    if labelled_idx is not None:
+        if stored.spec.noise.kind == "ncnm":
+            # blank labels of unlisted rows, keep all points (ivm.cpp:183-206)
+            mask = np.ones(y.shape[0], bool)
+            mask[labelled_idx] = False
+            y = y.copy()
+            y[mask] = 0.0
+            if cl.verbosity > 0:
+                print(f"Removed labels from {int(mask.sum())} points that weren't indexed.")
+        else:
+            X, y = X[labelled_idx], y[labelled_idx]
+            if cl.verbosity > 0:
+                print(f"Reduced data set ... contains {y.shape[0]} points.")
+    model = IVM(stored.spec.kern, stored.spec.noise, X, y, num_active=active,
+                seed=cl.seed, kern_params=stored.kern_params,
+                noise_params=stored.noise_params)
     model.optimise(ext_iters=ext_iters, kern_iters=kern_iters, noise_iters=noise_iters, verbose=cl.verbosity)
     if cl.verbosity > 0:
         print(model.display())
-    model_io.write_ivm(model_file, model, "Run as: " + " ".join(sys.argv))
+    comment = "Run as: " + " ".join(sys.argv) + f" with seed {cl.seed}."
+    model_io.write_ivm(new_model_file, model, comment)
 
 
 def _load_model_and_data(cl, default_model="ivm_model"):

@@ -183,15 +183,42 @@ def kern_evidence_panel(kern, p, X, m, ridge=0.0):
     """(logdet, quad) for K = kern(X) + ridge·I through the panel
     mega-kernel — the GPC_TPU_EVIDENCE=panel engine.  Falls back to the
     lazy engine (with a visible warning) when the kernel family is outside
-    the panel Gram's domain, and to the dense route off-TPU when pallas
-    isn't available: an explicit engine choice never silently computes a
-    wrong thing, it degrades to the nearest correct engine."""
+    the panel Gram's domain, when the kernel carries no white/noise ridge
+    (the pad rows would be singular), or on GPU backends (the Mosaic
+    kernel lowers on TPU; CPU runs interpret mode for tests): an explicit
+    engine choice never silently computes a wrong thing, it degrades to
+    the nearest correct engine."""
     info = panel_split(kern)
+    fallback = None
     if info is None:
-        warnings.warn(
-            f"GPC_TPU_EVIDENCE=panel serves cmpnd(rbf[, bias][, white]) "
-            f"only (got {getattr(kern, 'kind', type(kern).__name__)}); "
-            f"falling back to the lazy engine")
+        fallback = (f"GPC_TPU_EVIDENCE=panel serves cmpnd(rbf[, bias][, "
+                    f"white]) only (got "
+                    f"{getattr(kern, 'kind', type(kern).__name__)})")
+    elif not info[2] and info[3] + ridge <= 0.0:
+        # no white component and no ridge: the pad rows would factor as
+        # 0·I (singular) and the (Npad−N)·log noise correction is log 0 —
+        # a noiseless K is outside the panel kernel's domain.  Such a K is
+        # typically numerically singular too (RBF spectra decay below ε
+        # fast), so degrade to the DENSE jitchol-escalation route — the
+        # one engine built for non-PD rescue — not to lazy.
+        warnings.warn("GPC_TPU_EVIDENCE=panel needs a white/noise ridge "
+                      "(got a noiseless kernel); falling back to the dense "
+                      "jitchol engine")
+        from gpc_tpu import linalg
+        K = kern.gram(jnp.asarray(p), jnp.asarray(X))
+        if ridge:
+            K = K + ridge * jnp.eye(K.shape[0], dtype=K.dtype)
+        ld, quad, _L = linalg.evidence_terms(K, jnp.asarray(m))
+        return ld, quad
+    else:
+        backend = jax.default_backend()
+        if backend in ("gpu", "cuda", "rocm"):
+            # the Mosaic kernel lowers on TPU only; CPU runs it in
+            # interpret mode (slow — tests); GPUs degrade to lazy
+            fallback = (f"GPC_TPU_EVIDENCE=panel runs on TPU (or CPU "
+                        f"interpret mode); backend is {backend}")
+    if fallback is not None:
+        warnings.warn(fallback + "; falling back to the lazy engine")
         from gpc_tpu.ops.lazy_evidence import kern_evidence_lazy
         return kern_evidence_lazy(kern, p, X, m, ridge=ridge, force=True)
     rbf_off, bias_offs, white_offs, fixed_white = info

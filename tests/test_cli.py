@@ -28,8 +28,13 @@ def test_gp_learn_display_gnuplot_relearn(in_tmp, capsys):
     gp_cli.main(["gnuplot", SINC, "m1", "t"])
     for f in ("t_line_data.dat", "t_error_bar_data.dat", "t_scatter_data.dat", "t_plot.gp"):
         assert os.path.exists(f), f
-    gp_cli.main(["-v", "1", "relearn", "-#", "5", SINC, "m1"])
+    before = open("m1").read()
+    gp_cli.main(["-v", "1", "relearn", "-#", "5", SINC, "m1", "m1_re"])
     assert "Final objective" in capsys.readouterr().out
+    # the retrained model goes to the THIRD positional; the input model is
+    # untouched (gp.cpp:446-447, 515)
+    assert os.path.exists("m1_re")
+    assert open("m1").read() == before
 
 
 def test_gp_sparse_learn(in_tmp, capsys):
@@ -115,7 +120,9 @@ def test_ivm_ratquad_alpha_flag(in_tmp):
 
 def test_gp_relearn_optimiser_flag(in_tmp):
     gp_cli.main(["-s", "1", "-v", "0", "learn", "-#", "10", SINC, "ro"])
-    gp_cli.main(["-v", "0", "relearn", "-O", "quasinew", "-#", "5", SINC, "ro"])
+    gp_cli.main(["-v", "0", "relearn", "-O", "quasinew", "-#", "5", SINC,
+                 "ro", "ro2"])
+    assert os.path.exists("ro2")
 
 
 def test_ivm_relearn_active_size_flag(in_tmp):
@@ -127,10 +134,20 @@ def test_ivm_relearn_active_size_flag(in_tmp):
     ivm_cli.main(["-s", "1", "-v", "0", "learn", "-a", "8", "-k", "rbf",
                   "-e", "1", "-#", "5", "-n", "2", "t2.svml", "ra"])
     ivm_cli.main(["-s", "1", "-v", "0", "relearn", "-a", "12", "-e", "1",
-                  "-#", "5", "-n", "2", "t2.svml", "ra"])
+                  "-#", "5", "-n", "2", "t2.svml", "ra", "ra2"])
     from gpc_tpu.io import model_io as mio
-    m = mio.read_ivm("ra")
+    m = mio.read_ivm("ra2")
     assert m.spec.num_active == 12
+    assert mio.read_ivm("ra").spec.num_active == 8  # input model untouched
+    # -a is REQUIRED on relearn (ivm.cpp:143-144)
+    with pytest.raises(SystemExit):
+        ivm_cli.main(["relearn", "t2.svml", "ra"])
+    # dimension mismatch is rejected (ivm.cpp:178-179)
+    rngb = np.random.default_rng(9)
+    write_svml("bad_dim.svml", rngb.standard_normal((10, 3)),
+               np.sign(rngb.standard_normal(10)))
+    with pytest.raises(SystemExit):
+        ivm_cli.main(["relearn", "-a", "8", "bad_dim.svml", "ra"])
 
 
 def test_gp_learn_matlab_format(in_tmp, capsys):
@@ -243,6 +260,14 @@ def test_ivm_labelled_indices_ncnm(in_tmp, capsys):
     from gpc_tpu.io import model_io as mio
     m = mio.read_ivm("nm")
     assert type(m.spec.noise).__name__ == "NcnmNoise"
+    # relearn with -l on an NCNM model keeps ALL rows and blanks unlisted
+    # labels (ivm.cpp:183-206 branches on the noise type)
+    ivm_cli.main(["-s", "1", "-v", "1", "relearn", "-a", "10", "-e", "1",
+                  "-#", "5", "-n", "2", "-l", "lab.idx", "l.svml",
+                  "nm", "nm2"])
+    out = capsys.readouterr().out
+    assert "Removed labels from 16 points" in out
+    assert mio.read_ivm("nm2").spec.n_data == 24
     # out-of-range index is rejected
     with open("bad.idx", "w") as f:
         f.write("40\n")

@@ -120,6 +120,36 @@ def test_panel_engine_falls_back_outside_family():
     assert abs(float(quad) - quad_ref) / abs(quad_ref) < 1e-5
 
 
+def test_panel_engine_falls_back_on_noiseless_kernel():
+    """A kernel with no white component and no ridge is outside the panel
+    domain (pad rows would factor as 0·I; the (Npad−N)·log noise correction
+    is log 0) — it must degrade to lazy, not produce NaN/inf."""
+    N, q = 300, 2
+    rng = np.random.default_rng(11)
+    kern = _cmpnd(q, "rbf", "bias")          # panel family, but noiseless
+    p = jnp.asarray(np.array([1.0, 1.0, 0.3]), jnp.float64)
+    X = jnp.asarray(rng.standard_normal((N, q)))
+    m = jnp.asarray(rng.standard_normal((N, 1)))
+    # a noiseless RBF gram is numerically singular (spectrum decays below
+    # ε) — the correct degradation target is the dense jitchol-escalation
+    # engine, whose rescue jitter defines the reference value here
+    from gpc_tpu import linalg
+    K = kern.gram(p, X)
+    ld_ref, quad_ref, _ = linalg.evidence_terms(K, m)
+    with pytest.warns(UserWarning, match="noise"):
+        ld, quad = kern_evidence_panel(kern, p, X, m)
+    assert np.isfinite(float(ld)) and np.isfinite(float(quad))
+    assert abs(float(ld) - float(ld_ref)) < 1e-8 * max(1.0, abs(float(ld_ref)))
+    assert abs(float(quad) - float(quad_ref)) < 1e-8 * max(1.0, abs(float(quad_ref)))
+    # a ridge brings the same kernel back inside the domain (no fallback)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        ld2, quad2 = kern_evidence_panel(kern, p, X, m, ridge=0.1)
+    assert not [w for w in caught if "falling back" in str(w.message)]
+    assert np.isfinite(float(ld2)) and np.isfinite(float(quad2))
+
+
 def test_gp_ftc_rides_panel_engine(monkeypatch):
     """GPC_TPU_EVIDENCE=panel routes models/gp.py FTC evidence through the
     panel engine — value AND value_and_grad work (gp learn trains)."""
