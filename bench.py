@@ -95,8 +95,7 @@ def main():
 
     reps = 10 if on_tpu else 3
 
-    import sys as _sys
-    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gpc_tpu.ops.evidence_fast import evidence_left_fast, Policy
     from gpc_tpu.ops.lazy_evidence import rbf_block_fn
 
@@ -211,24 +210,30 @@ def main():
             return quad + ld
         ref = sync(check(X, m))
         t_pipe, rel, t_pipe_med = None, None, None
+        passing = []
         for t, name, v, t_med in results:
             r = abs(v / reps - ref) / abs(ref)
             if r < 1e-2:
-                t_pipe, rel, t_pipe_med = t, r, t_med
-                print(f"# winner {name} (drift {r:.1e})", file=sys.stderr)
-                break
-            print(f"# candidate {name} REJECTED: drift {r:.2e}",
-                  file=sys.stderr)
+                passing.append((t, name, v, t_med))
+                if t_pipe is None:
+                    t_pipe, rel, t_pipe_med = t, r, t_med
+                    print(f"# winner {name} (drift {r:.1e})", file=sys.stderr)
+            else:
+                print(f"# candidate {name} REJECTED: drift {r:.2e}",
+                      file=sys.stderr)
         assert t_pipe is not None, "no candidate within 1e-2 of f32-HIGH"
     else:
         assert results, "no candidate compiled"
         t_pipe, rel, t_pipe_med = results[0][0], 0.0, results[0][3]
+        passing = results
 
     # same-session panel/flat ratio: roofline-INDEPENDENT kernel-race metric
     # (it decided the round-4 winner at 11-13% regardless of session draw) —
     # tracked so the kernel claim never rests on a lucky roofline
-    # denominator (VERDICT r4 ask #3)
-    times_by_name = {name: t for t, name, _v, _tm in results}
+    # denominator (VERDICT r4 ask #3).  Only ACCURACY-GATE-PASSING
+    # candidates enter the ratio: a numerically-off panel run must not make
+    # the renegotiated gate appear met (it emits null instead).
+    times_by_name = {name: t for t, name, _v, _tm in passing}
     panel_vs_flat = None
     if "panel-b512" in times_by_name and "flat-b512" in times_by_name:
         panel_vs_flat = round(
@@ -446,7 +451,6 @@ def main():
     # secondary (stderr): sinc time-to-converge, the reference's own headline
     # ("couple of minutes" on a Pentium IV, reference README.md:56)
     try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from gpc_tpu import kernels as GK
         from gpc_tpu.models.gp import GP
         from gpc_tpu.io.svml import read_svml

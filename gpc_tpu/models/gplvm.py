@@ -293,7 +293,7 @@ class GPLVM:
         else:
             Xvals = pca_init(m, latent_dim)
 
-        kp0 = kern_params = kern.default_params()
+        kp0 = kern.default_params()
         self.theta = jnp.asarray(self.spec.pack(
             kp0, Xvals,
             dyn_params=self.dyn_params_fixed if (dyn_kern is not None and dyn_kern_learnt) else None,

@@ -449,64 +449,28 @@ def make_iterative_nlml(kern: Kern, X, m, key, *, block: int = 2048,
                         trace_probes: int = 16):
     """Matrix-free TRAINABLE FTC NLML — BBMM-style (GPyTorch) custom VJP.
 
-    Returns nlml(p) = ½(Σⱼ mⱼᵀK⁻¹mⱼ + D·log|K| + N·D·log 2π), differentiable
-    without ever materializing K or unrolling the solver iterations:
+    Returns nlml(p) = ½(Σⱼ mⱼᵀK⁻¹mⱼ + D·log|K| + N·D·log 2π) over the fixed
+    (X, m), differentiable without materializing K or unrolling the solver —
+    a thin wrapper assembling the NLML from the shared `_iter_evidence_fn`
+    custom-VJP core (one CG for quad + Hutchinson probes, SLQ logdet,
+    blockwise-rematerialized backward contractions).  Probe vectors are
+    FIXED by `key` (mapped to the core's config seed), so nlml is
+    deterministic given the key and the gradient is the estimator's exact
+    gradient.  The reference has no answer at this scale — its FTC is
+    O(N³)/O(N²) memory (CGp.cpp:877-909); this trains beyond dense HBM."""
+    from gpc_tpu import ndlutil
 
-      forward : quad via (preconditioned) CG, log|K| via SLQ;
-      backward: d quad = −Σⱼ αⱼᵀK̇αⱼ (adjoint α from the SAME solve) and
-                d log|K| = tr(K⁻¹K̇) ≈ (1/T)Σᵢ wᵢᵀK̇zᵢ (Hutchinson probes zᵢ
-                solved alongside m in ONE multi-RHS CG), both realized as
-                jax.grad of a blockwise-rematerialized contraction — memory
-                stays O(N·(block+T)).
-
-    Probe vectors are FIXED by `key`, so nlml is deterministic given the key
-    (SCG line searches stay consistent); the gradient is the estimator's
-    exact gradient.  The reference has no answer at this scale — its FTC is
-    O(N³)/O(N²) memory (CGp.cpp:877-909); this trains beyond dense HBM.
-    """
     X = jnp.asarray(X)
     m = jnp.asarray(m)
     N, D = m.shape
-    k_tr, k_slq = jax.random.split(jax.random.fold_in(key, 7))
-    Z = jax.random.rademacher(k_tr, (N, trace_probes), dtype=X.dtype)
+    seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+    cfg = IterConfig(block=block, probes=probes, lanczos_iters=lanczos_iters,
+                     cg_iters=cg_iters, precond_rank=precond_rank,
+                     trace_probes=trace_probes, seed=seed)
+    evidence = _iter_evidence_fn(kern, cfg)
 
-    def _solve(p, B):
-        mvm = lambda V: kernel_mvm(kern, p, X, V, block=block)
-        if precond_rank > 0:
-            Lk = pivoted_cholesky(kern, p, X, precond_rank)
-            pre = woodbury_preconditioner(Lk, kern.white(p) + 1e-8)
-            return pcg_solve(mvm, B, pre, max_iters=cg_iters).x
-        return cg_solve(mvm, B, max_iters=cg_iters).x
-
-    import functools as _ft
-    LOG2PI = 1.8378770664093453
-
-    @jax.custom_vjp
     def nlml(p):
-        val, _ = _fwd(p)
-        return val
+        logdet, quad = evidence(p, X, m)
+        return 0.5 * (quad + D * logdet + N * D * ndlutil.LOGTWOPI)
 
-    def _fwd(p):
-        sols = _solve(p, jnp.concatenate([m, Z], axis=1))
-        alpha, W = sols[:, :D], sols[:, D:]
-        quad = jnp.sum(m * alpha)
-        mvm = lambda V: kernel_mvm(kern, p, X, V, block=block)
-        logdet = slq_logdet(mvm, N, k_slq, probes=probes,
-                            lanczos_iters=lanczos_iters, dtype=X.dtype)
-        val = 0.5 * (quad + D * logdet + N * D * LOG2PI)
-        return val, (p, alpha, W)
-
-    def _bwd(res, g):
-        p, alpha, W = res
-        alpha = lax.stop_gradient(alpha)
-        W = lax.stop_gradient(W)
-
-        def contracted(p_):
-            s_q = jnp.sum(alpha * kernel_mvm(kern, p_, X, alpha, block=block))
-            s_tr = jnp.sum(W * kernel_mvm(kern, p_, X, Z, block=block))
-            return 0.5 * (D * s_tr / trace_probes - s_q)
-
-        return (g * jax.grad(contracted)(p),)
-
-    nlml.defvjp(_fwd, _bwd)
     return nlml

@@ -46,19 +46,3 @@ def load(path: str):
             prng_key = jax.random.wrap_key_data(z["prng_key"])
         extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
     return step, theta, extra, prng_key
-
-
-def latest(directory: str, prefix: str = "ckpt"):
-    """Path of the newest checkpoint `prefix_<step>.npz` in directory, or None."""
-    if not os.path.isdir(directory):
-        return None
-    best, best_step = None, -1
-    for f in os.listdir(directory):
-        if f.startswith(prefix + "_") and f.endswith(".npz"):
-            try:
-                step = int(f[len(prefix) + 1:-4])
-            except ValueError:
-                continue
-            if step > best_step:
-                best, best_step = os.path.join(directory, f), step
-    return best

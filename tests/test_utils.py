@@ -23,16 +23,6 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.random.normal(key, (3,))
     b = jax.random.normal(key2, (3,))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
-
-
-def test_checkpoint_latest(tmp_path):
-    for s in (1, 10, 3):
-        ck.save(os.path.join(tmp_path, f"ckpt_{s}.npz"), s, np.zeros(2))
-    latest = ck.latest(str(tmp_path))
-    assert latest.endswith("ckpt_10.npz")
-    assert ck.latest(str(tmp_path), prefix="nope") is None
-
-
 def test_time_fn_runs():
     f = jax.jit(lambda x: x * 2.0)
     t = time_fn(f, jnp.ones(4), reps=2)
