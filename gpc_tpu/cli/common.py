@@ -158,16 +158,22 @@ class KernelSpecParser:
         if allowed is not None and self.types[-1] not in allowed:
             raise ExitError(f"{what} parameter not valid for {self.types[-1]} covariance function.")
 
+    def add_type(self, kern_type: str, usage="fwd"):
+        """Append a kernel leaf with unset (-1.0) per-kernel parameters —
+        the ONE place the parallel lists grow in lockstep (the gp/gplvm
+        CLIs route -k/-c/-D through this)."""
+        self.types.append(kern_type)
+        self.usage.append(usage)
+        for lst in (self.ratquad_alphas, self.inv_widths, self.weight_vars,
+                    self.bias_vars, self.variances, self.degrees):
+            lst.append(-1.0)
+        self.select_inputs.append(False)
+
     def handle(self, cl: CommandLine, usage="fwd") -> bool:
         """Try to consume the current flag; returns True if consumed."""
         arg = cl.current()
         if arg in ("-k", "--kernel"):
-            self.types.append(cl.get_string())
-            self.usage.append(usage)
-            for lst in (self.ratquad_alphas, self.inv_widths, self.weight_vars,
-                        self.bias_vars, self.variances, self.degrees):
-                lst.append(-1.0)
-            self.select_inputs.append(False)
+            self.add_type(cl.get_string(), usage)
         elif arg in ("-g", "--gamma"):
             self._check_last("Inverse width", ("rbf", "exp", "ratquad"))
             self.inv_widths[-1] = 2 * cl.get_double()  # stores 2γ (gp.cpp:168)

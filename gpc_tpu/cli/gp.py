@@ -291,6 +291,10 @@ def gnuplot(cl: CommandLine):
             point_size = cl.get_double(); cl.advance()
         elif arg in ("-r", "--resolution"):
             resolution = cl.get_int(); cl.advance()
+        elif arg in ("-l", "--labels"):
+            # accepted-and-unused, as in the reference: gp.cpp:586-588
+            # parses labelFileName but nothing ever reads it
+            cl.get_string(); cl.advance()
         else:
             raise ExitError(f"Unrecognised flag: {cl.current()}")
     data_file = cl.current()

@@ -36,8 +36,10 @@ def learn(cl: CommandLine):
     init_type = "pca"
     optimiser = "scg"
     dynamics_used = False
+    # the reference DEFAULTS to fixed-SNR dynamics at ratio 20 (gplvm.cpp:115,
+    # 499-500, 547): any -D run freezes the dynamics kernel unless the user
+    # passes -dr -1 (the ratio!=-1 escape hatch)
     dynamics_ratio = 20.0
-    dynamics_ratio_set = False
     dynamics_scale = 0.5
     iters = 1000
     model_file = "gplvm_model"
@@ -59,26 +61,16 @@ def learn(cl: CommandLine):
         elif arg in ("-x", "--latent-dim"):
             latent_dim = cl.get_int(); cl.advance()
         elif arg in ("-c", "--constrained"):
-            ks.types.append(cl.get_string())
-            ks.usage.append("back")
-            for lst in (ks.ratquad_alphas, ks.inv_widths, ks.weight_vars,
-                        ks.bias_vars, ks.variances, ks.degrees):
-                lst.append(-1.0)
-            ks.select_inputs.append(False)
+            ks.add_type(cl.get_string(), usage="back")
             cl.advance()
         elif arg in ("-D", "--dynamics-kernel"):
             dynamics_used = True
-            ks.types.append(cl.get_string())
-            ks.usage.append("dyn")
-            for lst in (ks.ratquad_alphas, ks.inv_widths, ks.weight_vars,
-                        ks.bias_vars, ks.variances, ks.degrees):
-                lst.append(-1.0)
-            ks.select_inputs.append(False)
+            ks.add_type(cl.get_string(), usage="dyn")
             cl.advance()
         elif arg in ("-dr", "--dynamics-ratio"):
             if not dynamics_used:
                 raise ExitError("You need to declare a dynamics kernel before setting the dynamics signal to noise ratio. Default is 10.")
-            dynamics_ratio = cl.get_double(); dynamics_ratio_set = True; cl.advance()
+            dynamics_ratio = cl.get_double(); cl.advance()
         elif arg in ("-ds", "--dynamics-scale"):
             if not dynamics_used:
                 raise ExitError("You need to declare a dynamics kernel before setting the dynamics scale.")
@@ -133,9 +125,9 @@ def learn(cl: CommandLine):
         dp = np.asarray(dyn_kern.set_variance(jnp.asarray(dp), dynamics_scale ** 2))
         white = KM.White(input_dim=q)
         wp = white.default_params()
-        if dynamics_ratio_set:
+        if dynamics_ratio != -1.0:
             wp[0] = dynamics_scale / (dynamics_ratio ** 2)  # gplvm.cpp:499-500
-            dyn_learnt = False
+            dyn_learnt = False                              # gplvm.cpp:547
         dyn_kern = KM.Cmpnd(input_dim=q, components=tuple(list(dyn_kern.components) + [white]))
         dyn_params = np.concatenate([dp, wp])
 

@@ -291,7 +291,12 @@ def write_gp(path, model, comment: str = ""):
     noise_params = getattr(model, "noise_params", None)
     if noise_params is None:
         noise_params = np.concatenate([np.zeros(spec.output_dim), [1e-6]])
-    write_noise(w, noise_type, noise_params, spec.output_dim)
+    # ncnm/ordered blocks carry numData (the reference reader sizes per-data
+    # site storage from it, CNoise.cpp:1376-1387) and their extra fields —
+    # round-trip what read_gp preserved, never the write_noise defaults
+    write_noise(w, noise_type, noise_params, spec.output_dim,
+                n_data=spec.n_data,
+                extra=getattr(model, "noise_extra", None))
     if spec.sparse:
         w.field("fixInducing", spec.inducing_fixed)
         w.matrix(np.asarray(model.inducing()))

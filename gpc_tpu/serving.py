@@ -49,8 +49,6 @@ class GPServer:
         if explicit_inverse is None:
             explicit_inverse = (self.spec.approx == "ftc"
                                 and jax.default_backend() != "cpu")
-        X_u_fixed = getattr(model, "X_u_fixed", None)
-
         # multi-chip serving: prediction is embarrassingly parallel over the
         # batch dim — shard each chunk's rows over the mesh and let GSPMD
         # partition the cross-Gram + GEMMs (state replicated; collectives
@@ -64,9 +62,15 @@ class GPServer:
                 "chunk must be a multiple of the device count")
             self._sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
-        self._state_fn = jax.jit(lambda theta, X, y: posterior_state(
-            self.spec, theta, X, y, model.bias, model.fixed_scales,
-            X_u_fixed=X_u_fixed, explicit_inverse=explicit_inverse))
+        # bias / fixed_scales / X_u are REFRESH-TIME inputs, not closure
+        # captures: refresh(new_model) after a retrain on re-centred data
+        # (GP sets bias = column means under centre=True) must serve the
+        # new model's offsets, not the construction-time ones
+        self._state_fn = jax.jit(lambda theta, X, y, bias, scales, X_u:
+                                 posterior_state(
+                                     self.spec, theta, X, y, bias, scales,
+                                     X_u_fixed=X_u,
+                                     explicit_inverse=explicit_inverse))
         self._apply = jax.jit(lambda st, Xt: posterior_apply(
             self.spec, st, Xt))
         self.refresh(model)
@@ -77,8 +81,11 @@ class GPServer:
         can keep serving across training rounds with only the O(N³) factor
         redone.  The reference's equivalent is the dirty-flag lazy
         updateAlpha recompute (CGp.cpp:469-534)."""
-        self.state = self._state_fn(model.theta, jnp.asarray(model.X),
-                                    jnp.asarray(model.y))
+        X_u = getattr(model, "X_u_fixed", None)
+        self.state = self._state_fn(
+            model.theta, jnp.asarray(model.X), jnp.asarray(model.y),
+            jnp.asarray(model.bias), jnp.asarray(model.fixed_scales),
+            None if X_u is None else jnp.asarray(X_u))
 
     def _bucket(self, t: int) -> int:
         """Padded batch size for a t-row piece: next power of two, capped at

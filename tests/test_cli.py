@@ -228,6 +228,14 @@ def test_gplvm_dynamics_cli(in_tmp, capsys):
         gplvm_cli.main(["learn", "-dr", "10", OIL100, "x"])
     with pytest.raises(SystemExit):
         gplvm_cli.main(["learn", "-ds", "0.5", OIL100, "x"])
+    # -D WITHOUT -dr still applies the reference's DEFAULT fixed SNR of 20
+    # (gplvm.cpp:115, 499-500, 547): dynamics white variance pinned to
+    # scale/ratio² = 0.5/400 and the dynamics kernel params frozen
+    gplvm_cli.main(["-s", "4", "-v", "0", "learn", "-D", "rbf", "-#", "3",
+                    OIL100, "gd2"])
+    m2, _ = mio.read_gplvm("gd2")
+    dp = np.asarray(m2.dyn_kern_params())
+    np.testing.assert_allclose(dp[-1], 0.5 / 400.0, rtol=1e-12)
 
 
 def test_gplvm_back_constraint_cli(in_tmp, capsys):

@@ -137,3 +137,34 @@ def test_gp_fixed_inducing_roundtrip(tmp_path):
     assert m2.spec.inducing_fixed
     np.testing.assert_allclose(m2.inducing(), model.inducing(), rtol=1e-14)
     np.testing.assert_allclose(m2.log_likelihood(), ll, rtol=1e-10)
+
+
+def test_gp_ncnm_noise_numdata_roundtrip(tmp_path):
+    """write_gp must serialize the ncnm noise block with numData =
+    spec.n_data and the preserved gammaSplit — the reference reader sizes
+    per-data site storage from numData (CNoise.cpp:1376-1387), so the
+    write_noise default of 1 corrupts reference-side loads."""
+    import numpy as np
+    from gpc_tpu import kernels as K
+    from gpc_tpu.models.gp import GP
+    from gpc_tpu.io import model_io as mio
+
+    rng = np.random.default_rng(0)
+    N = 14
+    X = rng.standard_normal((N, 2))
+    y = np.sign(rng.standard_normal((N, 1)))
+    kern = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2), K.White(input_dim=2)))
+    model = GP(kern, X, y, centre=False)
+    model.noise_type = "ncnm"
+    model.noise_params = np.array([0.0, 0.1, 0.1, 1.0])
+    model.noise_extra = {"gammaSplit": 1}
+    path = str(tmp_path / "ncnm_gp")
+    mio.write_gp(path, model)
+    text = open(path).read()
+    assert f"numData={N}" in text
+    assert "gammaSplit=1" in text
+    back = mio.read_gp(path, X=X, y=y)
+    assert back.noise_type == "ncnm"
+    assert int(back.noise_extra["numData"]) == N
+    assert int(back.noise_extra["gammaSplit"]) == 1

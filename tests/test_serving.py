@@ -186,3 +186,27 @@ def test_server_small_request_single_chunk():
                                atol=1e-12)
     np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
                                atol=1e-12)
+
+
+def test_gp_server_refresh_tracks_new_model_bias():
+    """refresh(new_model) must serve the NEW model's bias/scales — not the
+    construction-time closure's (a retrain on re-centred data changes bias =
+    column means under centre=True)."""
+    from gpc_tpu.serving import GPServer
+
+    model, rng = _model("ftc")
+    srv = GPServer(model, chunk=16)
+    # a second model on SHIFTED data: different column means => different bias
+    X2 = rng.standard_normal((96, 2))
+    y2 = 3.0 + np.sin(X2[:, :1]) + 0.05 * rng.standard_normal((96, 1))
+    kern2 = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2), K.White(input_dim=2)))
+    model2 = GP(kern2, X2, y2, approx="ftc", centre=True, seed=1)
+    assert abs(float(model2.bias[0]) - float(model.bias[0])) > 1.0
+    srv.refresh(model2)
+    Xt = rng.standard_normal((17, 2))
+    mu, var = srv.predict(Xt)
+    want_mu, want_var = model2.predict(Xt)
+    np.testing.assert_allclose(mu, np.asarray(want_mu), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(var, np.asarray(want_var), rtol=1e-10,
+                               atol=1e-12)
