@@ -36,7 +36,7 @@ _KERNEL_LETTERS = {
     "B": K.Bias,
 }
 
-_state: dict = {"model": None, "kern": None}
+_state: dict = {"model": None, "kern": None, "server": None}
 
 
 def _build_kern(kernels: str, input_dim: int):
@@ -72,6 +72,7 @@ def train(kernels: str, X, Y, verbose: int = 1, iters: int = 100):
     res = model.optimise(iters=iters)
     _state["model"] = model
     _state["kern"] = kern
+    _state["server"] = None          # posterior state re-factors lazily
     return float(res.obj)
 
 
@@ -92,6 +93,7 @@ def retrain(X, Y, verbose: int = 1, iters: int = 100):
     model.theta = prev.theta
     res = model.optimise(iters=iters)
     _state["model"] = model
+    _state["server"] = None          # posterior state re-factors lazily
     return float(res.obj)
 
 
@@ -105,7 +107,14 @@ def query(X, want_variance: bool = False):
     if X.ndim != 2 or X.shape[1] != model.spec.input_dim:
         raise ValueError(
             f"X data: expected non-empty Mx{model.spec.input_dim} array")
-    mu, var = model.predict(X)
+    # factor once, serve repeatedly: the fGP use case is a stream of
+    # queries from a host program, and GP.predict would re-run the O(N³)
+    # posterior Cholesky on every call (serving.GPServer pins prediction
+    # parity with GP.predict in tests/test_serving.py)
+    if _state["server"] is None:
+        from gpc_tpu.serving import GPServer
+        _state["server"] = GPServer(model)
+    mu, var = _state["server"].predict(X)
     if want_variance:
         return np.asarray(mu), np.asarray(var)
     return np.asarray(mu)
@@ -115,6 +124,7 @@ def clear():
     """fGP('clear') (fGP.mex.cpp:256-277)."""
     _state["model"] = None
     _state["kern"] = None
+    _state["server"] = None
 
 
 def fgp(command: str, *args, **kwargs):

@@ -155,8 +155,13 @@ def noise_to_struct(noise_type: str, params, output_dim: int, n_data: int,
     }
     if noise_type in ("gaussian", "probit", "ncnm", "ordered", "scale"):
         s["bias"] = params[:output_dim].reshape(1, -1)
-    if noise_type in ("gaussian", "probit"):
+    if noise_type == "gaussian":
         s["sigma2"] = float(params[-1])
+    elif noise_type == "probit":
+        # probit params are bias-only; sigma2 is the FIXED member the
+        # reference serializes separately (CNoise.cpp:181-189) — params[-1]
+        # here would be the last bias, not a variance
+        s["sigma2"] = float(nz.sigma2_fixed)
     if noise_type == "ncnm":
         s["gammaSplit"] = float((extra or {}).get("split_gamma", 0))
     if noise_type == "ordered":
@@ -165,9 +170,25 @@ def noise_to_struct(noise_type: str, params, output_dim: int, n_data: int,
 
 
 def noise_from_struct(s):
-    """Returns (noise_type, params, extra)."""
+    """Returns (noise_type, params, extra).
+
+    Reference/_NDLMATLAB noise structs carry NAMED parameter fields (bias,
+    sigma2, ... — CNoise.cpp addParamToMxArray) rather than the flat
+    `params` vector our writer also emits; reconstruct from the named
+    fields when `params` is absent so GPmat-written files load."""
     ntype = _string(s, "type")
-    params = np.asarray(_field(s, "params")).ravel().astype(np.float64)
+    try:
+        params = np.asarray(_field(s, "params")).ravel().astype(np.float64)
+    except KeyError:
+        bias = np.asarray(_field(s, "bias")).ravel().astype(np.float64)
+        if ntype == "gaussian":
+            params = np.concatenate([bias, [float(_scalar(s, "sigma2"))]])
+        elif ntype == "probit":
+            params = bias
+        else:
+            raise ValueError(
+                f"noise struct for {ntype!r} has no params vector and no "
+                f"known named-field reconstruction")
     extra = {}
     if ntype == "ncnm":
         extra["split_gamma"] = bool(int(_scalar(s, "gammaSplit", 0.0)))
@@ -191,6 +212,7 @@ def write_gp_mat(path, model, X=None, y=None):
         "N": float(spec.n_data),
         "k": float(spec.num_active),
         "fixInducing": float(spec.inducing_fixed),
+        "pitcBlock": float(spec.pitc_block),
         "scale": np.asarray(model.scales(), dtype=np.float64).reshape(1, -1),
         "bias": np.asarray(model.bias, dtype=np.float64).reshape(1, -1),
     }
@@ -234,6 +256,7 @@ def read_gp_mat(path, X=None, y=None):
     num_active = int(_scalar(gi, "k"))
     learn_scales = bool(int(_scalar(gi, "learnScales")))
     inducing_fixed = bool(int(_scalar(gi, "fixInducing", 0.0)))
+    pitc_block = int(_scalar(gi, "pitcBlock", 0.0))
     Xd = X if X is not None else d.get("X")
     yd = y if y is not None else d.get("y")
     if Xd is None or yd is None:
@@ -244,7 +267,8 @@ def read_gp_mat(path, X=None, y=None):
             "read_gp_mat: the .mat file carries no X/y — pass X= and y=")
     model = GP(kern, np.asarray(Xd), np.asarray(yd), approx=approx,
                num_active=num_active, learn_scales=learn_scales,
-               centre=False, inducing_fixed=inducing_fixed)
+               centre=False, inducing_fixed=inducing_fixed,
+               pitc_block=pitc_block)
     model.bias = np.asarray(_field(gi, "bias")).ravel().astype(np.float64)
     model.fixed_scales = np.asarray(
         _field(gi, "scale")).ravel().astype(np.float64)

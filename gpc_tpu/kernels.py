@@ -286,7 +286,11 @@ class Exp(Kern):
         return np.array([tr.EXP, tr.EXP])
 
     def compute(self, p, X1, X2):
-        r = jnp.sqrt(dist2(X1, X2) + 1e-300)
+        # dtype-aware sqrt guard: 1e-300 underflows to 0 in f32, and
+        # sqrt(0)'s infinite derivative turns coincident-point cotangents
+        # into NaN on the TPU f32 training path (safe-INPUT discipline)
+        d2 = dist2(X1, X2)
+        r = jnp.sqrt(d2 + jnp.finfo(jnp.result_type(d2)).tiny)
         return p[1] * jnp.exp(-p[0] * r)
 
     def diag(self, p, X):
@@ -360,7 +364,8 @@ class Matern32(Kern):
 
     def compute(self, p, X1, X2):
         wi2 = 3.0 / (p[0] * p[0])
-        u = jnp.sqrt(dist2(X1, X2) * wi2 + 1e-300)
+        d2 = dist2(X1, X2) * wi2
+        u = jnp.sqrt(d2 + jnp.finfo(jnp.result_type(d2)).tiny)
         return p[1] * (1.0 + u) * jnp.exp(-u)
 
     def diag(self, p, X):
@@ -398,7 +403,7 @@ class Matern52(Kern):
     def compute(self, p, X1, X2):
         wi2 = 5.0 / (p[0] * p[0])
         n2 = dist2(X1, X2) * wi2
-        u = jnp.sqrt(n2 + 1e-300)
+        u = jnp.sqrt(n2 + jnp.finfo(jnp.result_type(n2)).tiny)
         return p[1] * (1.0 + u + n2 / 3.0) * jnp.exp(-u)
 
     def diag(self, p, X):
@@ -482,7 +487,12 @@ class Mlp(Kern):
         d1 = w * jnp.sum(X1 * X1, axis=-1) + b + 1.0
         d2 = w * jnp.sum(X2 * X2, axis=-1) + b + 1.0
         arg = numer / jnp.sqrt(d1[:, None] * d2[None, :])
-        return var * jnp.arcsin(jnp.clip(arg, -1.0, 1.0))
+        # clamp strictly inside [-1, 1]: arg is mathematically < 1 but can
+        # ROUND to 1.0 once w·‖x‖² exceeds the mantissa (then d = numer+1
+        # == numer), and arcsin'(±1) = ∞ turns the pullback into inf/NaN;
+        # 1−epsneg is the largest representable value below 1
+        lim = 1.0 - jnp.finfo(jnp.result_type(arg)).epsneg
+        return var * jnp.arcsin(jnp.clip(arg, -lim, lim))
 
     def diag(self, p, X):
         w, b, var = p[0], p[1], p[2]
@@ -659,7 +669,12 @@ class Mlpard(_ArdMixin, Kern):
         d1 = w * jnp.sum(X1 * X1 * s, axis=-1) + b + 1.0
         d2 = w * jnp.sum(X2 * X2 * s, axis=-1) + b + 1.0
         arg = numer / jnp.sqrt(d1[:, None] * d2[None, :])
-        return var * jnp.arcsin(jnp.clip(arg, -1.0, 1.0))
+        # clamp strictly inside [-1, 1]: arg is mathematically < 1 but can
+        # ROUND to 1.0 once w·‖x‖² exceeds the mantissa (then d = numer+1
+        # == numer), and arcsin'(±1) = ∞ turns the pullback into inf/NaN;
+        # 1−epsneg is the largest representable value below 1
+        lim = 1.0 - jnp.finfo(jnp.result_type(arg)).epsneg
+        return var * jnp.arcsin(jnp.clip(arg, -lim, lim))
 
     def diag(self, p, X):
         w, b, var = p[0], p[1], p[2]

@@ -82,7 +82,10 @@ class Noise:
         gmu, gvs = self.grad_inputs(p, mu, varsigma, y)
         nu = gmu * gmu - 2.0 * gvs
         if not self.log_concave:
-            nu = jnp.maximum(nu, SMALLVAL)
+            # the reference clamps NEGATIVE nu to SMALLVAL (which then
+            # survives the |nu|<SMALLVAL test below); a tiny POSITIVE nu
+            # must still map to EPS (CNoise.cpp:19-33 order)
+            nu = jnp.where(nu < 0.0, SMALLVAL, nu)
         nu = jnp.where(jnp.abs(nu) < SMALLVAL, _EPS, nu)
         return nu, gmu
 

@@ -182,3 +182,42 @@ def test_priors_reindexed_in_compound():
     kern = K.Cmpnd(input_dim=3, components=(K.Bias(input_dim=3), rbf))
     g = kern.priors_global
     assert len(g) == 1 and g[0].index == 2  # bias has 1 param before rbf's
+
+
+def test_f32_gradients_finite_at_coincident_points():
+    """The distance-kernel sqrt guard must survive f32: 1e-300 underflows
+    to 0 there, and sqrt(0)'s infinite derivative NaN'd the whole gradient
+    whenever X contained duplicate rows (the TPU training dtype)."""
+    import jax
+
+    X = jnp.asarray(np.array([[0.5, -1.0], [0.5, -1.0], [1.5, 2.0]]),
+                    jnp.float32)
+
+    for kern in (K.Exp(input_dim=2), K.Matern32(input_dim=2),
+                 K.Matern52(input_dim=2)):
+        p = jnp.asarray(kern.default_params(), jnp.float32)
+
+        def scalar(p_):
+            return jnp.sum(kern.compute(p_, X, X))
+
+        g = jax.grad(scalar)(p)
+        assert np.isfinite(np.asarray(g)).all(), (kern.kind, np.asarray(g))
+
+
+def test_mlp_gradient_finite_at_rounded_arcsin_edge():
+    """Mlp arg = numer/sqrt(d1·d2) rounds to exactly 1.0 in f32 once
+    w·‖x‖² exceeds the mantissa; arcsin'(1) = ∞ must not reach the
+    pullback (clamp to 1−epsneg)."""
+    import jax
+
+    X = jnp.asarray(np.full((2, 2), 1.5e4), jnp.float32)
+    kern = K.Mlp(input_dim=2)
+    p = jnp.asarray(kern.default_params(), jnp.float32)
+
+    def scalar(p_):
+        return jnp.sum(kern.compute(p_, X, X))
+
+    v = scalar(p)
+    g = jax.grad(scalar)(p)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)

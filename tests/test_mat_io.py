@@ -85,3 +85,36 @@ def test_kern_struct_roundtrip_all_types():
         np.testing.assert_allclose(
             np.asarray(k2.compute(jnp.asarray(p2), X, X)),
             np.asarray(kern.compute(jnp.asarray(p), X, X)), rtol=1e-12)
+
+
+def test_noise_struct_named_field_fallback(tmp_path):
+    """Reference/_NDLMATLAB noise structs carry NAMED parameter fields
+    (bias, sigma2 — CNoise.cpp addParamToMxArray), never our writer's flat
+    `params` vector; noise_from_struct must reconstruct from them."""
+    # simulate a GPmat-written gaussian noise struct (no params field)
+    path = str(tmp_path / "n.mat")
+    sio.savemat(path, {"noise": {
+        "type": "gaussian", "numProcess": 2.0, "numData": 5.0,
+        "nParams": 3.0, "spherical": 1.0, "logconcave": 1.0, "missing": 0.0,
+        "bias": np.array([[0.25, -0.5]]), "sigma2": 0.01}})
+    s = sio.loadmat(path, squeeze_me=False)["noise"]
+    ntype, params, _ = mat_io.noise_from_struct(s)
+    assert ntype == "gaussian"
+    np.testing.assert_allclose(params, [0.25, -0.5, 0.01])
+    # probit: bias-only params
+    sio.savemat(path, {"noise": {
+        "type": "probit", "numProcess": 1.0, "numData": 5.0,
+        "nParams": 1.0, "spherical": 1.0, "logconcave": 1.0, "missing": 0.0,
+        "bias": np.array([[0.125]]), "sigma2": 1e-6}})
+    s = sio.loadmat(path, squeeze_me=False)["noise"]
+    ntype, params, _ = mat_io.noise_from_struct(s)
+    assert ntype == "probit"
+    np.testing.assert_allclose(params, [0.125])
+
+
+def test_probit_noise_struct_sigma2_is_fixed_member():
+    """probit params are bias-only; the serialized sigma2 must be the FIXED
+    1e-6 member (CNoise.cpp:181-189), not the last bias."""
+    s = mat_io.noise_to_struct("probit", np.array([0.43]), 1, 5)
+    assert abs(s["sigma2"] - 1e-6) < 1e-12
+    np.testing.assert_allclose(np.asarray(s["bias"]).ravel(), [0.43])
