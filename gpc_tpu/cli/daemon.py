@@ -4,8 +4,9 @@ The reference binaries pay ~40 ms of process startup; a JAX CLI pays ~2.2 s
 of interpreter + `import jax` plus trace/lower time on EVERY invocation —
 the dominant cost at tutorial sizes (BASELINE.md round-2 column).  This
 daemon keeps one warm Python/JAX process alive behind a unix socket; the
-client (stdlib-only, no jax import — ~50 ms) forwards argv and streams back
-stdout/stderr, so repeated CLI runs reuse the live jit caches in-process.
+client (stdlib-only, no jax import — ~50 ms) forwards argv and receives the
+command's captured stdout/stderr when it completes (output is buffered, not
+incremental), so repeated CLI runs reuse the live jit caches in-process.
 
 Usage:
     GPC_TPU_DAEMON=1 bin/gp learn ...      # bin wrappers auto-dispatch
@@ -107,7 +108,11 @@ def serve():
     # saved/RESTORED around the bind alone, so model files the daemon-routed
     # tools write keep the same permissions as direct CLI runs.
     os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
-    os.chmod(os.path.dirname(path), 0o700)
+    if "GPC_TPU_DAEMON_SOCKET" not in os.environ:
+        # harden only OUR default ~/.cache dir: a user-supplied socket may
+        # live in a shared directory (/tmp) where chmod 0700 would either
+        # fail or lock out every other process
+        os.chmod(os.path.dirname(path), 0o700)
     # stale-socket recovery: if nothing answers, unlink and rebind
     if os.path.exists(path):
         probe = socket.socket(socket.AF_UNIX)

@@ -52,7 +52,12 @@ def _local_factor_step(j, S_local, n_dev, B, N, axis=DATA_AXIS):
     my_cols = lax.dynamic_slice(S_local, (zero, j * B), (B, B))
     panel = lax.all_gather(my_cols, axis, tiled=True)             # (N, B)
 
-    # 2. replicated panel factorization
+    # 2. replicated panel factorization.  Deliberately NO jitter rescue
+    # here: like every non-dense engine (README env notes), a transiently
+    # non-PD K yields NaN evidence that SCG rejects as a failed step —
+    # the dense single-chip path is the one that re-jitters
+    # (linalg.jitchol); threading an escalation loop through the mesh
+    # collectives would buy little and risk the panel schedule.
     diag = lax.dynamic_slice(panel, (j * B, zero), (B, B))
     L_jj = jnp.linalg.cholesky(diag)
     # rows above the diagonal block are already final (zero in this panel)
@@ -121,7 +126,7 @@ def _backward_solve_sweep(L_local, v, n_dev, B, N):
 def _evidence_distributed_fn(mesh: Mesh):
     """Differentiable (logdet, quad) = f(K_rows, m) over `mesh`, cached per
     mesh so the custom_vjp identity is stable across jit retraces."""
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
 
     def fwd_local(S_local, m_rep):
         B, N = S_local.shape
@@ -207,7 +212,7 @@ def evidence_distributed(mesh: Mesh, K_rows, m):
     α, forward+backward solves for this device's K⁻¹ columns), so `jax.grad`
     through a kernel-built K_rows matches the dense single-chip gradient.
     """
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     N = K_rows.shape[0]
     assert N % n_dev == 0
     return _evidence_distributed_fn(mesh)(K_rows, jnp.asarray(m))
@@ -219,7 +224,7 @@ def chol_distributed(mesh: Mesh, K_rows):
     K_rows: (N, N) array sharded P(DATA_AXIS, None) over `mesh`; N must divide
     evenly by the device count.
     """
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     N = K_rows.shape[0]
     assert N % n_dev == 0, "N must be divisible by the device count"
     B = N // n_dev

@@ -43,7 +43,7 @@ def make_dist_ftc_value_and_grad(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
                                  n_valid: int):
     """Returns vag(theta, X, y, mask) → (nlml, dnlml/dtheta), fully sharded."""
     assert spec.approx == "ftc"
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     bias = jnp.asarray(bias)
     fixed_scales = jnp.asarray(fixed_scales)
     N_total, D = spec.n_data, spec.output_dim
@@ -96,7 +96,7 @@ def make_dist_ftc_posterior(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
     replicated (T, D) outputs — the distributed CGp::posteriorMeanVar.
     """
     assert spec.approx == "ftc"
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     bias = jnp.asarray(bias)
     fixed_scales = jnp.asarray(fixed_scales)
     D = spec.output_dim

@@ -117,9 +117,6 @@ def make_dist_objective(spec: GpSpec, mesh: Mesh, bias, fixed_scales,
                 diagDl = jnp.where(maskl > 0, 1.0 + beta * (diagKl - diagQl), 1.0)
                 Dinvl = 1.0 / diagDl
                 scaledMl = ml * jnp.sqrt(Dinvl)[:, None]
-                A = K_uu / beta + lax.psum((K_ufl * Dinvl[None, :]) @ K_ufl.T,
-                                           DATA_AXIS)
-                L_A, _ = linalg.jitchol(A)
                 Vl = linalg.tri_solve(L_uu, K_ufl) * jnp.sqrt(Dinvl)[None, :]
                 Am = jnp.eye(M, dtype=Vl.dtype) / beta + lax.psum(Vl @ Vl.T, DATA_AXIS)
                 L_m, _ = linalg.jitchol(Am)

@@ -53,7 +53,7 @@ def make_dist_gplvm_value_and_grad(spec: GplvmSpec, mesh: Mesh, noise_bias,
     back-constraint kernel matrix bK, row-sharded over the mesh;
     `dyn_params_fixed` is required iff spec.has_dynamics and not
     spec.dyn_kern_learnt."""
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     N, D, q = spec.n_data, spec.data_dim, spec.latent_dim
     assert N % n_dev == 0, "n_data must divide the device count"
     B = N // n_dev

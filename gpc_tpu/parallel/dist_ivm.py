@@ -46,7 +46,7 @@ def make_select_points_dist(spec: IvmSpec, mesh: Mesh):
     shard_map-free calling: inputs row-sharded over `mesh`'s dp axis
     (pad with valid=0 rows to split evenly), output IvmState with GLOBAL
     (replicated) active_idx/sites and row-sharded moment arrays."""
-    n_dev = len(mesh.devices)
+    n_dev = mesh.shape[DATA_AXIS]
     D, d, C = spec.output_dim, spec.num_active, spec.n_struct
     kern, noise = spec.kern, spec.noise
     cmap = np.zeros(D, np.int32) if C == 1 else np.arange(D, dtype=np.int32)
