@@ -46,14 +46,15 @@ def _chol_solve_lazy(kfn, i0, n, b, A):
     h = n // 2
     if A is None:
         A11 = A22 = None
-        A21 = kfn(i0 + h, i0, h, h)
+        # trailing block is n-h rows (== h only when n is even)
+        A21 = kfn(i0 + h, i0, n - h, h)
     else:
         A11, A21, A22 = A[:h, :h], A[h:, :h], A[h:, h:]
     L11, v1, ld1 = _chol_solve_lazy(kfn, i0, h, b[:h], A11)
     L21 = _tri_solve_rt(A21, L11)
-    A22c = (kfn(i0 + h, i0 + h, h, h) if A22 is None else A22)
+    A22c = (kfn(i0 + h, i0 + h, n - h, n - h) if A22 is None else A22)
     L22, v2, ld2 = _chol_solve_lazy(
-        kfn, i0 + h, h, b[h:] - _mm(L21, v1),
+        kfn, i0 + h, n - h, b[h:] - _mm(L21, v1),
         A22c - _mm(L21, L21, transpose_b=True))
     top = jnp.concatenate([L11, jnp.zeros((h, n - h), L11.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)

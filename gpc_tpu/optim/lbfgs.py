@@ -61,12 +61,19 @@ def lbfgs(value_and_grad_fn: Callable, x0, max_iters: int = 1000, m: int = 10,
             task = 0
             evals = 0
             f = np.inf
+            fbest, xbest = np.inf, x.copy()
             max_evals = max_iters * 30
             while task == 0 and evals < max_evals:
                 f, g = vag(x)
-                if not np.isfinite(f):
-                    f = np.float64(1e300)
-                    g = np.nan_to_num(g, nan=0.0, posinf=1e300, neginf=-1e300)
+                # pass non-finite f straight through — the native engine's
+                # Moré-Thuente loop retreats toward the best endpoint itself
+                # (lbfgs.cpp NaN branch); substituting a huge finite value
+                # here would poison its interpolation state instead.  The
+                # one case it can't see is finite f with non-finite g:
+                if np.isfinite(f) and not np.all(np.isfinite(g)):
+                    f = np.float64(np.inf)
+                if np.isfinite(f) and f < fbest:
+                    fbest, xbest = f, x.copy()
                 task = lib.lbfgs_step(
                     h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     ctypes.c_double(f),
@@ -77,8 +84,17 @@ def lbfgs(value_and_grad_fn: Callable, x0, max_iters: int = 1000, m: int = 10,
             iters = int(lib.lbfgs_iterations(h))
         finally:
             lib.lbfgs_destroy(h)
-        f_final, _ = vag(x)
-        return LbfgsResult(x=x, obj=f_final, iters=iters, converged=task == 1)
+        if task == 1:
+            # converged: the engine returns before proposing a new trial,
+            # so x is exactly the point the loop just evaluated and f its
+            # objective — no re-evaluation needed
+            return LbfgsResult(x=x, obj=float(f), iters=iters,
+                               converged=True)
+        # iteration/eval cap or line-search failure: x may hold a freshly
+        # proposed UNevaluated trial step — return the best point the
+        # optimizer actually evaluated, not the dangling proposal
+        return LbfgsResult(x=xbest, obj=float(fbest), iters=iters,
+                           converged=False)
 
     return _python_lbfgs(vag, x, max_iters, m, grad_tol)
 

@@ -191,3 +191,20 @@ def test_evidence_fast_leafinv_modes():
     ld, quad = evidence_left_fast(kfn, n, m, Policy(256, True, "xla", True))
     assert abs(float(ld) - want_ld) < 2e-3 * abs(want_ld)
     assert abs(float(quad) - want_q) < 5e-2 * abs(want_q)
+
+
+def test_fused_lazy_odd_sizes():
+    """The right-looking recursion must split odd n as (h, n-h) — the
+    trailing thunk/recursion previously used h for both halves and shape-
+    errored on any n that turns odd while halving above BASE."""
+    rng = np.random.default_rng(3)
+    for n in (601, 257):
+        X = rng.standard_normal((n, 2))
+        K = np.exp(-0.5 * ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)) \
+            + 0.1 * np.eye(n)
+        m = rng.standard_normal((n, 1))
+        kfn = lambda i, j, r, c: jnp.asarray(K[i:i + r, j:j + c])
+        ld, qd, _ = evidence_fused_lazy(kfn, n, jnp.asarray(m))
+        assert abs(float(ld) - np.linalg.slogdet(K)[1]) < 1e-8
+        want = (m.T @ np.linalg.solve(K, m)).item()
+        assert abs(float(qd) - want) < 1e-8
