@@ -23,6 +23,7 @@ struct Buffer {
   const char* data = nullptr;
   size_t size = 0;
   int fd = -1;
+  bool heap = false;   // page-multiple files are heap-copied (NUL guard)
   bool ok() const { return data != nullptr; }
 };
 
@@ -34,6 +35,27 @@ Buffer map_file(const char* path) {
   if (fstat(b.fd, &sb) != 0 || sb.st_size == 0) {
     close(b.fd);
     b.fd = -1;
+    return b;
+  }
+  // strtod/strtol in the scan can read one byte past the last token when
+  // the file ends mid-number.  For sizes that are NOT a page multiple the
+  // mmap page slack is zero-filled so the scan stops at '\0'; for EXACT
+  // page multiples that byte is an unmapped page (SIGSEGV) — fall back to
+  // a heap copy with an explicit trailing NUL in that case.
+  const long pagesz = sysconf(_SC_PAGESIZE);
+  if (pagesz > 0 && sb.st_size % pagesz == 0) {
+    char* heap = static_cast<char*>(malloc(sb.st_size + 1));
+    if (!heap) { close(b.fd); b.fd = -1; return b; }
+    ssize_t got = 0;
+    while (got < sb.st_size) {
+      ssize_t r = pread(b.fd, heap + got, sb.st_size - got, got);
+      if (r <= 0) { free(heap); close(b.fd); b.fd = -1; return b; }
+      got += r;
+    }
+    heap[sb.st_size] = '\0';
+    b.data = heap;
+    b.size = sb.st_size;
+    b.heap = true;
     return b;
   }
   void* p = mmap(nullptr, sb.st_size, PROT_READ, MAP_PRIVATE, b.fd, 0);
@@ -48,7 +70,10 @@ Buffer map_file(const char* path) {
 }
 
 void unmap(Buffer& b) {
-  if (b.data) munmap(const_cast<char*>(b.data), b.size);
+  if (b.data) {
+    if (b.heap) free(const_cast<char*>(b.data));
+    else munmap(const_cast<char*>(b.data), b.size);
+  }
   if (b.fd >= 0) close(b.fd);
 }
 

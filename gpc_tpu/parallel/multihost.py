@@ -64,17 +64,22 @@ def process_row_range(n_rows: int, n_devices: int | None = None):
     return lo, lo + local * block
 
 
+def _clean_svml_line(ln):
+    """Comment-stripped, whitespace-trimmed content of one SVM-light line —
+    the SAME semantics as io/svml.read_svml_py (a `#` ANYWHERE starts a
+    comment, CR stripped; CClctrl.cpp:55-171), shared here so the sharded
+    loader cannot diverge from the single-host parser on e.g. `2:3#c`."""
+    return ln.split("#", 1)[0].strip()
+
+
 def _parse_svml_lines(lines, input_dim):
-    """Parse SVM-light lines (label idx:val ..., 1-based indices, CR-stripped,
-    `#` comments — CClctrl.cpp:55-171)."""
+    """Parse already-cleaned SVM-light lines (label idx:val ..., 1-based)."""
     X = np.zeros((len(lines), input_dim))
     y = np.zeros((len(lines), 1))
     for r, ln in enumerate(lines):
-        toks = ln.strip().split()
+        toks = ln.split()
         y[r, 0] = float(toks[0])
         for tok in toks[1:]:
-            if tok.startswith("#"):
-                break
             i, v = tok.split(":")
             X[r, int(i) - 1] = float(v)
     return X, y
@@ -83,29 +88,44 @@ def _parse_svml_lines(lines, input_dim):
 def load_svml_sharded(path, mesh=None):
     """Host-sharded SVM-light load.
 
-    Every process scans the file once for the row count and feature dimension
-    (cheap line scan), then PARSES only its own row block.  Returns
-    (X_global, y_global, n_valid): global row-sharded jax.Arrays padded to the
-    device count, plus the true row count.
+    Every process STREAMS the file once, tracking only the row count, the
+    max feature index, and the text of its own row block — no host ever
+    materializes all N parsed rows (or all N raw lines).  Returns
+    (X_global, y_global, n_valid): global row-sharded jax.Arrays padded to
+    the device count, plus the true row count.
     """
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
 
-    with open(path) as f:
-        lines = [ln for ln in f
-                 if ln.strip() and not ln.lstrip().startswith("#")]
-    n_valid = len(lines)
+    # pass 1 (streaming): row count + feature dimension
+    n_valid = 0
     input_dim = 0
-    for ln in lines:  # dimension scan (two-pass like CClctrl.cpp:55-171)
-        for tok in ln.strip().split()[1:]:
-            if tok.startswith("#"):
-                break
-            input_dim = max(input_dim, int(tok.split(":")[0]))
+    with open(path) as f:
+        for ln in f:
+            ln = _clean_svml_line(ln)
+            if not ln:
+                continue
+            n_valid += 1
+            for tok in ln.split()[1:]:
+                input_dim = max(input_dim, int(tok.split(":")[0]))
 
     n_pad = -(-n_valid // n_dev) * n_dev
     lo, hi = process_row_range(n_pad, n_dev)
-    local_lines = lines[min(lo, n_valid):min(hi, n_valid)]
+    lo_v, hi_v = min(lo, n_valid), min(hi, n_valid)
+    # pass 2 (streaming): keep only this host's [lo, hi) slice of lines
+    local_lines = []
+    row = 0
+    with open(path) as f:
+        for ln in f:
+            ln = _clean_svml_line(ln)
+            if not ln:
+                continue
+            if lo_v <= row < hi_v:
+                local_lines.append(ln)
+            row += 1
+            if row >= hi_v:
+                break
     X_l, y_l = _parse_svml_lines(local_lines, input_dim)
     rows_needed = hi - lo
     if X_l.shape[0] < rows_needed:  # tail padding rows live on the last hosts

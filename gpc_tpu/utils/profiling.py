@@ -36,17 +36,40 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def time_fn(fn: Callable, *args, reps: int = 5, warmup: int = 1):
-    """Median-free simple timing: mean seconds per call over `reps`, after
-    `warmup` untimed calls.  fn must return at least one array."""
+def measure_rtt(samples: int = 8) -> float:
+    """Min-of-`samples` cost of one trivial fetch-sync — the fixed per-fetch
+    round trip (26-62 ms on axon pool sessions) that every timing must
+    subtract (the repo-wide methodology; see bench.py and CLAUDE.md)."""
+    @jax.jit
+    def _triv(a):
+        return a + 1.0
+    one = jnp.ones((1,), jnp.float32)
+    sync(_triv(one))
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        sync(_triv(one))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_fn(fn: Callable, *args, reps: int = 10, warmup: int = 1):
+    """RTT-corrected mean seconds per call over `reps`, after `warmup`
+    untimed calls.  One fetch of the FIRST output leaf closes the timed
+    window (fetching any value forces the whole execution on axon) and its
+    measured round-trip cost is subtracted, per the repo methodology —
+    naive per-op sync loops are pure RTT noise.  fn must return at least
+    one array."""
+    def _sync_first(out):
+        sync(jax.tree_util.tree_leaves(out)[0])
     for _ in range(warmup):
-        out = fn(*args)
-        jax.tree_util.tree_map(lambda a: sync(a), out)
+        _sync_first(fn(*args))
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda a: sync(a), out)
-    return (time.perf_counter() - t0) / reps
+    _sync_first(out)
+    return max(time.perf_counter() - t0 - rtt, 0.0) / reps
 
 
 def evidence_flops(n: int, q: int, d: int) -> float:
