@@ -209,14 +209,14 @@ def main():
                                   stack=True))
             return quad + ld
         ref = sync(check(X, m))
-        t_pipe, rel, t_pipe_med = None, None, None
+        t_pipe, rel, t_pipe_med, win_name = None, None, None, None
         passing = []
         for t, name, v, t_med in results:
             r = abs(v / reps - ref) / abs(ref)
             if r < 1e-2:
                 passing.append((t, name, v, t_med))
                 if t_pipe is None:
-                    t_pipe, rel, t_pipe_med = t, r, t_med
+                    t_pipe, rel, t_pipe_med, win_name = t, r, t_med, name
                     print(f"# winner {name} (drift {r:.1e})", file=sys.stderr)
             else:
                 print(f"# candidate {name} REJECTED: drift {r:.2e}",
@@ -225,6 +225,7 @@ def main():
     else:
         assert results, "no candidate compiled"
         t_pipe, rel, t_pipe_med = results[0][0], 0.0, results[0][3]
+        win_name = results[0][1]
         passing = results
 
     # same-session panel/flat ratio: roofline-INDEPENDENT kernel-race metric
@@ -436,10 +437,18 @@ def main():
         # (negative-results ledger; VPU/MXU no-overlap law) puts the
         # original 0.8 point at the zero-margin theoretical floor, and the
         # cross-session healthy-band spread is 0.72-0.82 (five official
-        # records), so the renegotiated target is vs_baseline >= 0.70 on
-        # healthy sessions + panel_vs_flat_ratio <= 0.95.
-        # >= 1.0 here = renegotiated gate met.
-        "vs_renegotiated": round((gflops / target) / 0.70, 4),
+        # records), so the renegotiated target is ALL of: vs_baseline >=
+        # 0.70 on a healthy session, panel_vs_flat_ratio <= 0.95, and the
+        # winner being the product-reachable panel kernel family
+        # (GPC_TPU_EVIDENCE=panel serves the same kernel).  This field
+        # folds every leg: min(vs_baseline/0.70, 0.95/ratio) when the
+        # panel candidate won the accuracy-gated race, null otherwise —
+        # so >= 1.0 here = renegotiated gate met, with no leg left to a
+        # comment-reading consumer.
+        "vs_renegotiated": (
+            round(min((gflops / target) / 0.70, 0.95 / panel_vs_flat), 4)
+            if panel_vs_flat is not None and win_name == "panel-b512"
+            else None),
     }
     print(json.dumps(result))
     print(f"# backend={backend} N={N} t_pipeline={t_pipe*1e3:.1f}ms "
@@ -454,7 +463,16 @@ def main():
         from gpc_tpu import kernels as GK
         from gpc_tpu.models.gp import GP
         from gpc_tpu.io.svml import read_svml
-        Xs, ys = read_svml("/root/reference/examples/sinc.svml")
+        sinc_path = "/root/reference/examples/sinc.svml"
+        if os.path.exists(sinc_path):
+            Xs, ys = read_svml(sinc_path)
+        else:
+            # self-contained fallback: the reference's sinc tutorial is 40
+            # noisy sin(x)/x samples on [-3, 3] (reference README.md:56-75);
+            # the metric is time-to-converge, not the exact draw
+            rngs = np.random.default_rng(0)
+            Xs = rngs.uniform(-3.0, 3.0, (40, 1))
+            ys = np.sinc(Xs / np.pi) + 0.1 * rngs.standard_normal((40, 1))
         kern = GK.Cmpnd(input_dim=1, components=(
             GK.Rbf(input_dim=1), GK.Bias(input_dim=1), GK.White(input_dim=1)))
         model = GP(kern, Xs, ys, centre=True)

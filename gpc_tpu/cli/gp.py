@@ -143,9 +143,11 @@ def relearn(cl: CommandLine):
     new_model_file = (cl.argv[cl.pos + 2] if cl.pos + 2 < len(cl.argv)
                       else "gp_model")
     X, y = load_data(data_file, cl.file_format)
-    model = model_io.read_gp(model_file, X=X, y=y)
-    if model.spec.input_dim != X.shape[1]:
-        # gp.cpp:502-503
+    try:
+        model = model_io.read_gp(model_file, X=X, y=y)
+    except model_io.DataDimensionError:
+        # gp.cpp:502-503 (read_gp rebuilds the spec from X, so the check
+        # must run against the FILE's inputDim inside the reader)
         raise ExitError(f"{data_file}: input data is not of correct dimension")
     res = model.optimise(iters=iters, optimiser=optimiser, verbose=cl.verbosity)
     if cl.verbosity > 0:
@@ -168,8 +170,9 @@ def _load_model_and_data(cl, default_model="gp_model"):
     data_file = cl.current()
     model_file = cl.argv[cl.pos + 1] if cl.pos + 1 < len(cl.argv) else default_model
     X, y = load_data(data_file, cl.file_format)
-    model = model_io.read_gp(model_file, X=X, y=y)
-    if model.spec.input_dim != X.shape[1]:
+    try:
+        model = model_io.read_gp(model_file, X=X, y=y)
+    except model_io.DataDimensionError:
         raise ExitError(f"{data_file}: input data is not of correct dimension")
     return model, X, y
 
@@ -304,7 +307,10 @@ def gnuplot(cl: CommandLine):
         name = cl.argv[cl.pos + 2]
 
     X, y = load_data(data_file, cl.file_format)
-    model = model_io.read_gp(model_file, X=X, y=y)
+    try:
+        model = model_io.read_gp(model_file, X=X, y=y)
+    except model_io.DataDimensionError:
+        raise ExitError("Incorrect dimension of input data.")
     q = model.spec.input_dim
     noise_type = getattr(model, "noise_type", "gaussian")
     # dimension gates, gp.cpp:624-631
@@ -312,8 +318,6 @@ def gnuplot(cl: CommandLine):
         raise ExitError("Incorrect number of model inputs.")
     if noise_type == "gaussian" and q > 2:
         raise ExitError("Incorrect number of model inputs.")
-    if X.shape[1] != q:
-        raise ExitError("Incorrect dimension of input data.")
     if noise_type in ("probit", "ncnm"):
         _gnuplot_classification(model, X, y, name, resolution, point_size,
                                 line_width)

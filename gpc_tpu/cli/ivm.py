@@ -348,7 +348,10 @@ def gnuplot(cl: CommandLine):
     if cl.pos + 2 < len(cl.argv):
         name = cl.argv[cl.pos + 2]
     X, y = load_data(data_file, cl.file_format)
-    model = model_io.read_ivm(model_file, X=X, y=y)
+    try:
+        model = model_io.read_ivm(model_file, X=X, y=y)
+    except model_io.DataDimensionError:
+        raise ExitError("Incorrect dimension of input data.")
     if model.spec.noise.kind == "gaussian":
         _gnuplot_regression(model, X, y, name, resolution, point_size,
                             line_width)

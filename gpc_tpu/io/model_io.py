@@ -368,6 +368,9 @@ def read_ivm(path, X=None, y=None):
     m_site = r.matrix()
     beta_site = r.matrix()
 
+    if X is not None and np.asarray(X).shape[1] != input_dim:
+        raise DataDimensionError(
+            f"model expects inputDim={input_dim}, data has {np.asarray(X).shape[1]}")
     if X is None:
         X = np.zeros((n_data, input_dim))
         X[active] = activeX
@@ -482,6 +485,15 @@ def read_gplvm(path):
     return model, (np.asarray(labels) if has_labels else None)
 
 
+class DataDimensionError(ValueError):
+    """Re-attached data doesn't match the stored model's inputDim.
+
+    The readers rebuild the model spec FROM the attached X, so this check
+    must happen against the FILE's inputDim before construction — a caller
+    comparing the returned model's spec against X.shape[1] compares X with
+    itself (the reference errors at the CLI layer, gp.cpp:502-503)."""
+
+
 def read_gp(path, X=None, y=None):
     """Load a gp model file; re-attach data if given (readGpFromFile re-attaches
     py/pX at the CLI layer, gp.cpp:620-622).  Returns a GP with restored state."""
@@ -512,6 +524,9 @@ def read_gp(path, X=None, y=None):
         inducing_fixed = r.bool_("fixInducing")
         X_u = r.matrix()
 
+    if X is not None and np.asarray(X).shape[1] != input_dim:
+        raise DataDimensionError(
+            f"model expects inputDim={input_dim}, data has {np.asarray(X).shape[1]}")
     if X is None:
         X = np.zeros((n_data, input_dim))
     if y is None:

@@ -146,26 +146,39 @@ def iterative_evidence(kern: Kern, p, X, m, key, block: int = 2048,
     return quad, logdet
 
 
-def pivoted_cholesky(kern: Kern, p, X, rank: int):
+def pivoted_cholesky(kern: Kern, p, X, rank: int, mask=None):
     """Greedy rank-k pivoted Cholesky of the (white-free) kernel matrix.
 
     The standard preconditioner for kernel-matrix CG (PAPERS.md: Cutajar et al.
     2016, "Preconditioning Kernel Matrices"): k steps, each picking the largest
     remaining diagonal, evaluating ONE kernel column, and downdating — O(N·k²)
-    work and O(N·k) memory, no N×N object.  Returns (Lk (N, k), pivots).
+    work and O(N·k) memory, no N×N object.  Returns Lk (N, k).
+
+    With `mask` (pads / sequence breaks), masked-out rows are excluded: their
+    residual diagonal is zeroed so they are never picked as pivots, and their
+    Lk rows are zeroed so the Woodbury preconditioner never mixes the identity
+    subspace with the kernel one — matching the masked operator
+    mask·K·mask + (I − mask) of parallel/dist_iterative and the GPDM
+    dynamics route.
     """
     N = X.shape[0]
     diag0 = kern.diag(p, X) - kern.white(p)  # white handled by the solve shift
+    if mask is not None:
+        diag0 = diag0 * mask
 
     def body(i, carry):
         Lk, d = carry
         piv = jnp.argmax(d)
         col = kern.compute(p, X, lax.dynamic_slice(X, (piv, 0), (1, X.shape[1])))[:, 0]
+        if mask is not None:
+            col = col * mask
         li = Lk[piv, :]                       # previously accumulated row at pivot
         col = col - Lk @ li
         pivot_val = jnp.maximum(d[piv], 1e-12)
         newcol = col / jnp.sqrt(pivot_val)
         newcol = newcol.at[piv].set(jnp.sqrt(pivot_val))
+        if mask is not None:
+            newcol = newcol * mask
         Lk = Lk.at[:, i].set(newcol)
         d = jnp.maximum(d - newcol * newcol, 0.0)
         d = d.at[piv].set(0.0)
@@ -177,34 +190,8 @@ def pivoted_cholesky(kern: Kern, p, X, rank: int):
 
 
 def pivoted_cholesky_masked(kern: Kern, p, X, mask, rank: int):
-    """`pivoted_cholesky` with masked-out rows (pads / sequence breaks)
-    excluded: their residual diagonal is zeroed so they are never picked as
-    pivots, and their Lk rows are zeroed so the Woodbury preconditioner
-    never mixes the identity subspace with the kernel one — matching the
-    masked operator mask·K·mask + (I − mask) of parallel/dist_iterative
-    and the GPDM dynamics route."""
-    N = X.shape[0]
-    diag0 = (kern.diag(p, X) - kern.white(p)) * mask
-
-    def body(i, carry):
-        Lk, d = carry
-        piv = jnp.argmax(d)
-        col = kern.compute(
-            p, X, lax.dynamic_slice(X, (piv, 0), (1, X.shape[1])))[:, 0]
-        col = col * mask
-        li = Lk[piv, :]
-        col = col - Lk @ li
-        pivot_val = jnp.maximum(d[piv], 1e-12)
-        newcol = col / jnp.sqrt(pivot_val)
-        newcol = newcol.at[piv].set(jnp.sqrt(pivot_val))
-        Lk = Lk.at[:, i].set(newcol * mask)
-        d = jnp.maximum(d - newcol * newcol * mask, 0.0)
-        d = d.at[piv].set(0.0)
-        return Lk, d
-
-    Lk0 = jnp.zeros((N, rank), X.dtype)
-    Lk, _ = lax.fori_loop(0, rank, body, (Lk0, diag0))
-    return Lk
+    """Masked-rows variant of `pivoted_cholesky` (see its docstring)."""
+    return pivoted_cholesky(kern, p, X, rank, mask=mask)
 
 
 def woodbury_preconditioner(Lk, sigma2):

@@ -36,13 +36,18 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+# module scope so jax's jit cache (keyed on function identity) reuses one
+# executable per process — a per-call closure would retrace+recompile on
+# every measure_rtt/time_fn invocation
+@jax.jit
+def _triv(a):
+    return a + 1.0
+
+
 def measure_rtt(samples: int = 8) -> float:
     """Min-of-`samples` cost of one trivial fetch-sync — the fixed per-fetch
     round trip (26-62 ms on axon pool sessions) that every timing must
     subtract (the repo-wide methodology; see bench.py and CLAUDE.md)."""
-    @jax.jit
-    def _triv(a):
-        return a + 1.0
     one = jnp.ones((1,), jnp.float32)
     sync(_triv(one))
     ts = []

@@ -56,6 +56,22 @@ def test_gp_error_paths(in_tmp):
         gp_cli.main(["bogus-command"])
 
 
+def test_gp_relearn_dimension_check(in_tmp):
+    """relearn/gnuplot reject data whose feature count differs from the
+    stored model's inputDim (gp.cpp:502-503).  The check must run against
+    the FILE's inputDim inside read_gp — the rebuilt spec always matches
+    the attached X, so a post-hoc spec-vs-X comparison is vacuous."""
+    from gpc_tpu.io.svml import write_svml
+    gp_cli.main(["-s", "1", "-v", "0", "learn", "-#", "2", SINC, "md"])
+    rng = np.random.default_rng(5)
+    write_svml("wide.svml", rng.standard_normal((10, 2)),
+               rng.standard_normal(10))
+    with pytest.raises(SystemExit):
+        gp_cli.main(["relearn", "-#", "2", "wide.svml", "md", "md2"])
+    with pytest.raises(SystemExit):
+        gp_cli.main(["gnuplot", "wide.svml", "md", "tt"])
+
+
 def test_ivm_learn_and_friends(in_tmp, capsys):
     # tiny classification set
     rng = np.random.default_rng(0)
