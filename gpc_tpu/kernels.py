@@ -192,6 +192,14 @@ class WhiteFixed(Kern):
     def get_variance(self, p):
         return jnp.asarray(self.fixed_variance)
 
+    def set_variance(self, p, val):
+        # the reference mutates the member in place (CKern.h:614-618); here
+        # the variance is structural (not in p), so rebuilding is the only
+        # functional equivalent — Cmpnd.set_variance routes around this
+        raise ValueError(
+            "whitefixed variance is structural, not a parameter: rebuild "
+            "with dataclasses.replace(kern, fixed_variance=...)")
+
 
 @dataclasses.dataclass(frozen=True)
 class Bias(Kern):
@@ -497,7 +505,13 @@ class Mlp(Kern):
     def diag(self, p, X):
         w, b, var = p[0], p[1], p[2]
         numer = w * jnp.sum(X * X, axis=-1) + b
-        return var * jnp.arcsin(numer / (numer + 1.0))
+        # same strictly-inside-[−1,1] clamp as compute(): numer/(numer+1)
+        # rounds to exactly 1.0 once numer exceeds the mantissa, and
+        # arcsin'(1) = ∞ NaNs the gradient of every Gram whose diagonal
+        # this overwrites (Kern.gram diag discipline)
+        arg = numer / (numer + 1.0)
+        lim = 1.0 - jnp.finfo(jnp.result_type(arg)).epsneg
+        return var * jnp.arcsin(jnp.clip(arg, -lim, lim))
 
     def get_variance(self, p):
         return p[2]
@@ -679,7 +693,10 @@ class Mlpard(_ArdMixin, Kern):
     def diag(self, p, X):
         w, b, var = p[0], p[1], p[2]
         numer = w * jnp.sum(X * X * self._scales(p), axis=-1) + b
-        return var * jnp.arcsin(numer / (numer + 1.0))
+        # same strictly-inside-[−1,1] clamp as compute() (see Mlp.diag)
+        arg = numer / (numer + 1.0)
+        lim = 1.0 - jnp.finfo(jnp.result_type(arg)).epsneg
+        return var * jnp.arcsin(jnp.clip(arg, -lim, lim))
 
     def get_variance(self, p):
         return p[2]
@@ -828,12 +845,22 @@ class Cmpnd(_Component):
         return sum(c.get_variance(pp) for c, pp in zip(self.components, parts))
 
     def set_variance(self, p, val):
-        """Rescale children proportionally (CKern.h:489-498)."""
+        """Rescale children proportionally (CKern.h:489-498).
+
+        whitefixed children hold their variance structurally (not in p) and
+        cannot be rescaled functionally, so the remaining children absorb
+        the change and the compound total still lands exactly on `val`
+        (the reference instead mutates the whitefixed variance in place,
+        CKern.h:614-618 — a documented deviation)."""
         cur = self.get_variance(p)
-        ratio = val / cur
+        fixed = sum(float(c.fixed_variance) for c in self.components
+                    if c.kind == "whitefixed")
+        ratio = (val - fixed) / (cur - fixed)
         out = p
         off = self.offsets()
         for i, c in enumerate(self.components):
+            if c.kind == "whitefixed":
+                continue
             pp = out[off[i]:off[i + 1]]
             pp = c.set_variance(pp, c.get_variance(pp) * ratio)
             out = out.at[off[i]:off[i + 1]].set(pp)
@@ -873,6 +900,21 @@ class Tensor(_Component):
         out = self.components[0].get_variance(parts[0])
         for c, pp in zip(self.components[1:], parts[1:]):
             out = out * c.get_variance(pp)
+        return out
+
+    def set_variance(self, p, val):
+        """Rescale EVERY child by val/total — the reference's own rule
+        (CTensorKern::setVariance, CKern.h:534-542).  With k > 1 children
+        the resulting product variance is total·(val/total)^k, not val —
+        a replicated reference quirk."""
+        cur = self.get_variance(p)
+        factor = val / cur
+        out = p
+        off = self.offsets()
+        for i, c in enumerate(self.components):
+            pp = out[off[i]:off[i + 1]]
+            pp = c.set_variance(pp, c.get_variance(pp) * factor)
+            out = out.at[off[i]:off[i + 1]].set(pp)
         return out
 
 

@@ -114,6 +114,41 @@ def _scaled_targets(y, bias, scales):
     return (y - bias[None, :]) / scales[None, :]
 
 
+def _pitc_whitened(spec: GpSpec, kp, beta, X, m, K_uf, L_uu):
+    """Shared PITC block assembly for evidence AND serving: the correction
+    D = blockdiag(I + β·(K_bb − Q_bb)) applied via batched Cholesky solves,
+    all block algebra batched over the leading P axis (vmapped Gram +
+    batched triangular solves — MXU-friendly uniform shapes, ragged tail
+    handled by identity padding).  Returns (Am, e, Cb, sMb): the
+    L_uu-whitened Am = I/β + W̃·W̃ᵀ, its whitened RHS e, the batched block
+    factors Cb (their log-diagonals are the evidence's Σ_b logdet D_b), and
+    sMb = C_b⁻¹m_b (the evidence's quadratic ingredient)."""
+    M, N = K_uf.shape
+    Bp = spec.block_size
+    P = -(-N // Bp)
+    pad = P * Bp - N
+    q = spec.input_dim
+    Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
+    Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
+        Xp.reshape(P, Bp, q))                          # (P, Bp, Bp)
+    Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
+    Vb = linalg.tri_solve(L_uu, Kuf_p).reshape(M, P, Bp)   # L_uu⁻¹K_uf
+    Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
+    Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
+    valid = (jnp.arange(P * Bp) < N).reshape(P, Bp)
+    vmask = valid[:, :, None] & valid[:, None, :]
+    Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
+    Cb = jnp.linalg.cholesky(Db)                       # batched (P,Bp,Bp)
+    from jax.scipy.linalg import solve_triangular as _st
+    m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
+    sMb = _st(Cb, m_p, lower=True)                     # C_b⁻¹ m_b
+    Wb = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # (P,Bp,M)
+    Am = (jnp.eye(M, dtype=Wb.dtype) / beta
+          + jnp.einsum("pbm,pbn->mn", Wb, Wb))
+    e = jnp.einsum("pbm,pbd->md", Wb, sMb)
+    return Am, e, Cb, sMb
+
+
 def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
                    X_u_fixed=None):
     """logLikelihood(θ) (CGp.cpp:913-1014) — scalar, differentiable.
@@ -188,35 +223,11 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
         elif spec.approx == PITC:
             # PITC — *stubbed in the reference* (CGp.cpp:862-871 throws): the
             # block-diagonal member of the Quiñonero-Candela/Rasmussen family.
-            # Generalizes the FITC path: the correction D = blockdiag(I +
-            # β·(K_bb − Q_bb)) replaces FITC's diagonal, all block algebra
-            # batched over the leading P axis (vmapped Gram + batched
-            # triangular solves — MXU-friendly uniform shapes, ragged tail
-            # handled by identity padding).
-            Bp = spec.block_size
-            P = -(-N // Bp)
-            pad = P * Bp - N
-            q = spec.input_dim
-            Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
-            Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
-                Xp.reshape(P, Bp, q))                      # (P, Bp, Bp)
-            Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
-            V0 = linalg.tri_solve(L_uu, Kuf_p)             # L_uu⁻¹K_uf (M, P·Bp)
-            Vb = V0.reshape(M, P, Bp)
-            Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
-            Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
-            valid = (jnp.arange(P * Bp) < N).reshape(P, Bp)
-            vmask = valid[:, :, None] & valid[:, None, :]
-            Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
-            Cb = jnp.linalg.cholesky(Db)                   # batched (P,Bp,Bp)
-            from jax.scipy.linalg import solve_triangular as _st
-            m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, D)
-            sMb = _st(Cb, m_p, lower=True)                 # C_b⁻¹ m_b
-            Vt = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # (P,Bp,M)
-            Am = jnp.eye(M, dtype=Vt.dtype) / beta + jnp.einsum(
-                "pbm,pbn->mn", Vt, Vt)
+            # Generalizes the FITC path; block assembly shared with serving
+            # (_pitc_whitened).
+            Am, e, Cb, sMb = _pitc_whitened(spec, kp, beta, X, m, K_uf, L_uu)
             L_m, _ = linalg.jitchol(Am)
-            bet = linalg.tri_solve(L_m, jnp.einsum("pbm,pbd->md", Vt, sMb))
+            bet = linalg.tri_solve(L_m, e)
             # no reference quirk to match here (the C++ throws), so unlike the
             # FITC branch there is NO extra N·log2π — the global
             # −D·N·½log2π below is the correct (and only) constant.
@@ -228,12 +239,16 @@ def log_likelihood(spec: GpSpec, theta, X, y, bias, fixed_scales,
             Lacc = Lacc + beta * (jnp.sum(sMb * sMb) - jnp.sum(bet * bet))
         else:  # FITC (CGp.cpp:806-858, 962-988)
             diagK = spec.kern.diag(kp, X)
-            V0 = linalg.chol_solve(L_uu, K_uf)
-            diagQ = jnp.sum(V0 * K_uf, axis=0)
+            # one M×N triangular solve serves both diagQ and V: diagQ =
+            # diag(K_ufᵀK_uu⁻¹K_uf) = column norms of W = L_uu⁻¹K_uf
+            # (the previous chol_solve+tri_solve pair redid this solve
+            # three times per objective evaluation)
+            W = linalg.tri_solve(L_uu, K_uf)
+            diagQ = jnp.sum(W * W, axis=0)
             diagD = 1.0 + beta * (diagK - diagQ)
             Dinv = 1.0 / diagD
             scaledM = m * jnp.sqrt(Dinv)[:, None]
-            V = linalg.tri_solve(L_uu, K_uf) * jnp.sqrt(Dinv)[None, :]
+            V = W * jnp.sqrt(Dinv)[None, :]
             Am = jnp.eye(M, dtype=V.dtype) / beta + V @ V.T
             L_m, _ = linalg.jitchol(Am)
             invLmV = linalg.tri_solve(L_m, V)
@@ -314,8 +329,13 @@ def posterior_apply(spec: GpSpec, st, Xtest):
         mu0 = w1.T @ st["u"]                              # k_*ᵀ·A⁻¹·rhs
         # var = k** − k_*ᵀ(invK_uu − A⁻¹/β)k_* + 1/β (CGp.cpp:575-605)
         w2 = linalg.tri_solve(st["L_m"], w1)
-        var0 = (kstar_diag - jnp.sum(w1 * w1, axis=0)
-                + jnp.sum(w2 * w2, axis=0) / beta + 1.0 / beta)
+        # same ≥0 clamp as the FTC branch: at f32 with large learned β the
+        # +1/β floor (~1e-6) is smaller than the cancellation error of
+        # kstar_diag − Σw1² for test points near an inducing input, and a
+        # negative variance NaNs the client-side sqrt
+        var0 = jnp.maximum(kstar_diag - jnp.sum(w1 * w1, axis=0)
+                           + jnp.sum(w2 * w2, axis=0) / beta + 1.0 / beta,
+                           0.0)
     mu = mu0 * scales[None, :] + st["bias"][None, :]
     var = var0[:, None] * (scales ** 2)[None, :]
     return mu, var
@@ -358,29 +378,8 @@ def _sparse_posterior_state(spec: GpSpec, st, kp, X, X_u, m, beta):
         # block-diagonal D⁻¹ applied via batched Cholesky solves; a test
         # point forms its own block, so mean/var take the FITC form with
         # PITC's A (Quiñonero-Candela & Rasmussen 2005, eq. 24-25).
-        N_ = K_uf.shape[1]
-        Bp = spec.block_size
-        P = -(-N_ // Bp)
-        pad = P * Bp - N_
-        q = spec.input_dim
-        Xp = jnp.pad(jnp.asarray(X), ((0, pad), (0, 0)))
-        Kbb = jax.vmap(lambda xb: spec.kern.gram(kp, xb))(
-            Xp.reshape(P, Bp, q))
-        Kuf_p = jnp.pad(K_uf, ((0, 0), (0, pad)))
-        Vb = linalg.tri_solve(L_uu, Kuf_p).reshape(M_, P, Bp)
-        Qbb = jnp.einsum("mpi,mpj->pij", Vb, Vb)
-        Db = jnp.eye(Bp, dtype=Kbb.dtype)[None] + beta * (Kbb - Qbb)
-        valid = (jnp.arange(P * Bp) < N_).reshape(P, Bp)
-        vmask = valid[:, :, None] & valid[:, None, :]
-        Db = jnp.where(vmask, Db, jnp.eye(Bp, dtype=Db.dtype)[None])
-        Cb = jnp.linalg.cholesky(Db)
-        from jax.scipy.linalg import solve_triangular as _st
-        Wb = _st(Cb, jnp.transpose(Vb, (1, 2, 0)), lower=True)  # C⁻¹Ṽᵀ
-        Am = (jnp.eye(M_, dtype=Wb.dtype) / beta
-              + jnp.einsum("pbm,pbn->mn", Wb, Wb))
-        m_p = jnp.pad(m, ((0, pad), (0, 0))).reshape(P, Bp, m.shape[1])
-        sMb = _st(Cb, m_p, lower=True)
-        e = jnp.einsum("pbm,pbd->md", Wb, sMb)
+        # Assembly shared with the evidence path (_pitc_whitened).
+        Am, e, _Cb, _sMb = _pitc_whitened(spec, kp, beta, X, m, K_uf, L_uu)
     else:  # DTC / DTCVAR
         V = linalg.tri_solve(L_uu, K_uf)
         Am = jnp.eye(M_, dtype=V.dtype) / beta + V @ V.T

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gpc_tpu import linalg, ndlutil
+from gpc_tpu import linalg
 from gpc_tpu import transforms as tr
 from gpc_tpu import priors as priors_mod
 from gpc_tpu.kernels import Kern
@@ -204,7 +204,10 @@ def log_likelihood(spec: GplvmSpec, theta, y, noise_bias, fixed_scales,
     L = L + priors_mod.total_log_prob(spec.kern.priors_global, kp)
     if spec.has_dynamics and spec.dyn_kern_learnt:
         L = L + priors_mod.total_log_prob(spec.dyn_kern.priors_global, dp)
-    L = L - D * N * ndlutil.HALFLOGTWOPI
+    # NO −(N·D/2)·log 2π term: CGplvm::logLikelihood (CGplvm.cpp:493-551)
+    # omits the Gaussian normalization constant that CGp::logLikelihood
+    # carries — a documented reference quirk replicated for value parity
+    # (gradients and SCG trajectories are invariant to it)
     return L
 
 
@@ -244,7 +247,8 @@ def posterior(spec: GplvmSpec, theta, y, noise_bias, fixed_scales, Xtest,
     v = linalg.tri_solve(L_K, kX)
     var = jnp.maximum(
         spec.kern.diag(kp, jnp.asarray(Xtest)) - jnp.sum(v * v, axis=0), 0.0)
-    mu = linalg.chol_solve(L_K, kX).T @ m
+    # K⁻¹kX = L⁻ᵀv reuses the variance solve instead of redoing it
+    mu = linalg.tri_solve(L_K, v, trans=True).T @ m
     return mu, jnp.tile(var[:, None], (1, spec.data_dim))
 
 

@@ -249,7 +249,9 @@ def posterior(spec: IvmSpec, kern_params, X_active, m_site, beta_site, Xtest):
         Lc, _ = linalg.jitchol(Kb)
         v = linalg.tri_solve(Lc, kX)
         vs = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 0.0)
-        w = linalg.chol_solve(Lc, kX)
+        # Kb⁻¹kX = Lc⁻ᵀv reuses the variance solve (per-output loop for
+        # non-spherical noise multiplies the saving by output_dim)
+        w = linalg.tri_solve(Lc, v, trans=True)
         if spec.noise.spherical:
             mu = w.T @ m_site                         # (T, D)
             return mu, jnp.tile(vs[:, None], (1, spec.output_dim))

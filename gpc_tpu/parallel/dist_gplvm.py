@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gpc_tpu import ndlutil
 from gpc_tpu import priors as priors_mod
 from gpc_tpu.models.gplvm import GplvmSpec, _xout
 from gpc_tpu.parallel.chol_distributed import evidence_distributed
@@ -125,7 +124,7 @@ def make_dist_gplvm_value_and_grad(spec: GplvmSpec, mesh: Mesh, noise_bias,
         L = L + priors_mod.total_log_prob(spec.kern.priors_global, kp)
         if spec.has_dynamics and spec.dyn_kern_learnt:
             L = L + priors_mod.total_log_prob(spec.dyn_kern.priors_global, dp)
-        L = L - D * N * ndlutil.HALFLOGTWOPI
+        # no 2π constant — CGplvm quirk, must match models/gplvm.py
         return -L
 
     if spec.back_constrained:

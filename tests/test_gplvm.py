@@ -40,7 +40,8 @@ def test_loglik_matches_manual():
     sign, logdet = np.linalg.slogdet(Kmat)
     quad = np.trace(m.T @ np.linalg.solve(Kmat, m))
     want = -0.5 * (quad + y.shape[1] * logdet + np.sum(np.asarray(Xv) ** 2))
-    want -= 0.5 * y.size * np.log(2 * np.pi)
+    # NO 2π constant: CGplvm::logLikelihood omits the Gaussian
+    # normalization (CGplvm.cpp:493-551) — replicated reference quirk
     np.testing.assert_allclose(model.log_likelihood(), want, rtol=1e-9)
 
 

@@ -221,3 +221,46 @@ def test_mlp_gradient_finite_at_rounded_arcsin_edge():
     g = jax.grad(scalar)(p)
     assert np.isfinite(float(v))
     assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+
+
+def test_mlp_diag_gradient_finite_at_rounded_arcsin_edge():
+    """Same edge through diag(): numer/(numer+1) rounds to exactly 1.0 in
+    f32 once numer exceeds the mantissa, and Kern.gram overwrites the Gram
+    diagonal with diag() (FITC/DTCVAR consume it directly), so an
+    unclamped diag NaNs every mlp-kernel objective gradient even though
+    compute() is protected."""
+    X = jnp.asarray(np.full((3, 2), 1.5e4), jnp.float32)
+    for kern in (K.Mlp(input_dim=2), K.Mlpard(input_dim=2)):
+        p = jnp.asarray(kern.default_params(), jnp.float32)
+
+        def scalar(p_, k=kern):
+            return jnp.sum(k.diag(p_, X)) + jnp.sum(k.gram(p_, X))
+
+        v = scalar(p)
+        g = jax.grad(scalar)(p)
+        assert np.isfinite(float(v)), kern.kind
+        assert np.isfinite(np.asarray(g)).all(), (kern.kind, np.asarray(g))
+
+
+def test_set_variance_tensor_and_whitefixed():
+    """Tensor.set_variance follows the reference's per-child rescale rule
+    (CKern.h:534-542, incl. its k>1 factor quirk); Cmpnd.set_variance
+    lands the total exactly on `val` while leaving structural whitefixed
+    children untouched."""
+    tk = K.Tensor(input_dim=2, components=(K.Rbf(input_dim=2),
+                                           K.Lin(input_dim=2)))
+    p = jnp.asarray(tk.default_params(), jnp.float64)
+    cur = float(tk.get_variance(p))
+    p2 = tk.set_variance(p, 2.0 * cur)
+    # reference rule: every child scaled by factor=2 -> product scales 4x
+    np.testing.assert_allclose(float(tk.get_variance(p2)), 4.0 * cur,
+                               rtol=1e-12)
+
+    ck = K.Cmpnd(input_dim=2, components=(
+        K.Rbf(input_dim=2), K.Bias(input_dim=2),
+        K.WhiteFixed(input_dim=2, fixed_variance=0.25)))
+    pc = jnp.asarray(ck.default_params(), jnp.float64)
+    pc2 = ck.set_variance(pc, 3.0)
+    np.testing.assert_allclose(float(ck.get_variance(pc2)), 3.0, rtol=1e-12)
+    with pytest.raises(ValueError):
+        K.WhiteFixed(input_dim=2).set_variance(jnp.zeros((0,)), 1.0)
